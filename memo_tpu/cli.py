@@ -1,0 +1,209 @@
+"""memo-tpu CLI: ``memo {index, query, view}``.
+
+Preserves the reference's user-facing flag contract exactly
+(reference src/memo:29-49, index.sh:30-49, query.sh:36-61, view.sh:34-56) so
+reference walkthroughs transfer verbatim, and adds TPU-era knobs
+(--backend, --emit-compat, --profile, --devices).
+
+Run as ``python -m memo_tpu <cmd>`` or via the installed ``memo-tpu`` script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from memo_tpu.utils.logging import get_logger
+from memo_tpu.utils.profiling import GLOBAL_TIMES, trace_context
+
+log = get_logger(__name__)
+
+
+def _add_index(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "index", help="index pangenome into MEMO membership or conservation indexes"
+    )
+    p.add_argument("-g", dest="genome_list", required=True, help="document list (line 1 = pivot)")
+    p.add_argument("-o", dest="output_dir", default=".", help="output directory ['.']")
+    p.add_argument("-p", dest="prefix", required=True, help="output file prefix")
+    p.add_argument(
+        "-m", dest="membership", action="store_true", help="make membership index"
+    )
+    p.add_argument(
+        "--ms-backend",
+        default="auto",
+        choices=["auto", "native", "python"],
+        help="matching-statistics engine [auto]",
+    )
+    p.add_argument(
+        "--emit-compat",
+        action="store_true",
+        help="also write reference-format artifacts (fai, dap.txt, bed, parquet)",
+    )
+    p.add_argument("--no-cache", action="store_true", help="disable resumable MS caching")
+    p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
+
+
+def _add_query(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "query", help="query k-mer membership or conservation on pivot genome region"
+    )
+    p.add_argument(
+        "-b", dest="index", required=True, help="MEMO index (.npz native, .parquet or .bed compat)"
+    )
+    p.add_argument("-k", dest="k", type=int, default=31, help="k-mer size [31]")
+    p.add_argument(
+        "-n",
+        dest="num_docs",
+        type=int,
+        default=None,
+        help="total number of documents in pangenome (incl. pivot); "
+        "required for .parquet/.bed, stored in .npz",
+    )
+    p.add_argument(
+        "-r",
+        dest="region",
+        required=True,
+        help="query region (0-indexed, half open '[)' coordinates) chr:start-end",
+    )
+    p.add_argument("-o", dest="out_file", required=True, help="output file")
+    p.add_argument(
+        "-m",
+        dest="membership",
+        action="store_true",
+        help="perform the membership query (instead of conservation query)",
+    )
+    p.add_argument(
+        "--backend",
+        default=None,
+        choices=["jax", "pallas", "numpy"],
+        help="query backend [pallas on TPU, jax otherwise]",
+    )
+    p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
+    p.add_argument("--stats", action="store_true", help="print per-query stats to stderr")
+
+
+def _add_view(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("view", help="plot sequence conservation")
+    p.add_argument("-i", dest="in_file", required=True, help="input conservation.out")
+    p.add_argument("-o", dest="out_file", required=True, help="output plot.png")
+    p.add_argument(
+        "-n", dest="num_docs", type=int, required=True, help="total number of documents"
+    )
+    p.add_argument("-b", dest="num_bins", type=int, default=500, help="genomic bins [500]")
+    p.add_argument("-d", dest="dpi", type=int, default=600, help="plot DPI [600]")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="memo",
+        description="MEMO-TPU — TPU-native pangenome k-mer membership/conservation queries",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+    _add_index(sub)
+    _add_query(sub)
+    _add_view(sub)
+    return ap
+
+
+def _default_backend() -> str:
+    try:
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "jax"
+    except Exception:
+        return "numpy"
+
+
+def cmd_index(args) -> int:
+    from memo_tpu.index.builder import BuildConfig, build_index
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    cfg = BuildConfig(
+        kind="membership" if args.membership else "conservation",
+        backend=args.ms_backend,
+        workdir=None if args.no_cache else args.output_dir,
+        emit_compat=args.emit_compat,
+        compat_prefix=args.prefix,
+    )
+    with trace_context(args.profile):
+        store = build_index(args.genome_list, cfg)
+    out = os.path.join(args.output_dir, f"{args.prefix}.npz")
+    store.save(out)
+    log.info("index written: %s (%s)", out, store.stats())
+    log.info("stage times: %s", GLOBAL_TIMES.report())
+    print(f"DONE — index at {out}")
+    return 0
+
+
+def load_store(path: str, num_docs: int | None, membership: bool):
+    from memo_tpu.index.store import IntervalStore
+
+    kind = "membership" if membership else "conservation"
+    if path.endswith(".npz"):
+        store = IntervalStore.load(path)
+        if num_docs is not None and num_docs != store.n_docs:
+            log.warning("-n %d overrides stored n_docs=%d", num_docs, store.n_docs)
+            store.n_docs = num_docs
+        if store.kind != kind:
+            log.warning(
+                "index kind is %r but query requests %r — results follow the query flag",
+                store.kind,
+                kind,
+            )
+        return store
+    from memo_tpu.io import compat
+
+    if num_docs is None:
+        raise SystemExit("-n is required when querying a .parquet/.bed index")
+    if path.endswith(".parquet"):
+        return compat.read_parquet(path, num_docs, kind)
+    if path.endswith(".bed"):
+        return compat.read_bed(path, num_docs, kind)
+    raise SystemExit(f"unrecognized index format: {path}")
+
+
+def cmd_query(args) -> int:
+    import numpy as np
+
+    from memo_tpu.query.engine import QueryEngine, parse_region
+    from memo_tpu.query.output import write_conservation, write_membership
+
+    store = load_store(args.index, args.num_docs, args.membership)
+    backend = args.backend or _default_backend()
+    engine = QueryEngine(store, backend=backend)
+    record, qs, qe = parse_region(args.region)
+    with trace_context(args.profile):
+        if args.membership:
+            res = engine.membership(record, qs, qe, args.k)
+            write_membership(np.asarray(res), args.out_file)
+        else:
+            res = engine.conservation(record, qs, qe, args.k)
+            write_conservation(np.asarray(res), args.out_file)
+    if args.stats:
+        print(f"stats: {engine.last_stats.as_dict()}", file=sys.stderr)
+    return 0
+
+
+def cmd_view(args) -> int:
+    from memo_tpu.view.plot import save_conservation_plot
+
+    save_conservation_plot(args.in_file, args.out_file, args.num_docs, args.num_bins, args.dpi)
+    log.info("plot written: %s", args.out_file)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "index":
+        return cmd_index(args)
+    if args.command == "query":
+        return cmd_query(args)
+    if args.command == "view":
+        return cmd_view(args)
+    raise SystemExit(f"unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,190 @@
+"""Index construction pipeline: genome list -> IntervalStore.
+
+The TPU-native replacement for the reference's bash orchestration
+(reference index.sh): no per-stage text files — FASTA records go straight
+through the in-repo matching-statistics engine into dense int32 MS arrays,
+then through vectorized MEM/overlap extraction into the sorted interval
+store. ``--emit-compat`` reproduces the reference's on-disk artifacts
+(PIVOT.fai, dap.txt, prefix.bed, prefix.parquet) byte-for-byte for parity
+checks and interop.
+
+Failure recovery (SURVEY §5): per-document MS arrays are content-hash cached
+in the work directory; a crashed build resumes by skipping finished
+documents — per-document builds are embarrassingly parallel and
+independently restartable, like the reference's per-genome artifacts but
+formalized with a manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from memo_tpu.index.intervals import mem_overlap_intervals
+from memo_tpu.index.ms import MatchingStatisticsIndex, document_text
+from memo_tpu.index.store import IntervalStore
+from memo_tpu.io.fasta import read_fasta, write_fai
+from memo_tpu.utils.logging import get_logger
+from memo_tpu.utils.profiling import stage_timer
+
+log = get_logger(__name__)
+
+
+def _file_sha(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()[:24]
+
+
+@dataclass
+class BuildConfig:
+    kind: str = "conservation"  # or "membership" (reference index.sh -m flag)
+    backend: str = "auto"  # MS backend: auto | native | python
+    uppercase: bool = True
+    workdir: str | None = None  # MS cache location (None = no caching)
+    emit_compat: bool = False  # also write fai/dap.txt/bed/parquet
+    compat_prefix: str | None = None
+
+
+def read_genome_list(path: str) -> list[str]:
+    """One genome path per line, first line = pivot (reference index.sh:55)."""
+    base = os.path.dirname(os.path.abspath(path))
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            p = line.strip()
+            if p:
+                out.append(p if os.path.isabs(p) else os.path.join(base, p))
+    if len(out) < 2:
+        raise ValueError(f"{path}: need a pivot and at least one other genome")
+    return out
+
+
+def _ms_for_document(
+    doc_path: str, pivot_records, pivot_sha: str, cfg: BuildConfig
+) -> list[np.ndarray]:
+    """MS of every pivot record vs one document, with manifest caching."""
+    cache_path = None
+    if cfg.workdir:
+        os.makedirs(cfg.workdir, exist_ok=True)
+        key = f"{_file_sha(doc_path)}-{pivot_sha}-{int(cfg.uppercase)}"
+        cache_path = os.path.join(cfg.workdir, f"ms-{key}.npz")
+        if os.path.exists(cache_path):
+            log.info("MS cache hit for %s", os.path.basename(doc_path))
+            with np.load(cache_path) as z:
+                return [z[f"r{i}"] for i in range(len(pivot_records))]
+
+    doc_records = read_fasta(doc_path)
+    if cfg.uppercase:
+        doc_records = [r.upper() for r in doc_records]
+    with stage_timer(f"ms-build:{os.path.basename(doc_path)}"):
+        idx = MatchingStatisticsIndex(document_text(doc_records), backend=cfg.backend)
+    log.info(
+        "built MS index for %s (%d records, backend=%s)",
+        os.path.basename(doc_path),
+        len(doc_records),
+        idx.backend,
+    )
+    with stage_timer(f"ms-query:{os.path.basename(doc_path)}"):
+        cols = [idx.query(piv.seq) for piv in pivot_records]
+    del idx
+
+    if cache_path:
+        tmp = cache_path + ".tmp.npz"  # .npz suffix so savez doesn't append one
+        np.savez_compressed(tmp, **{f"r{i}": c for i, c in enumerate(cols)})
+        os.replace(tmp, cache_path)
+    return cols
+
+
+def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) -> IntervalStore:
+    cfg = cfg or BuildConfig()
+    if isinstance(genome_list, str):
+        genome_list = read_genome_list(genome_list)
+    pivot_path, doc_paths = genome_list[0], genome_list[1:]
+    n_docs = len(genome_list)  # total genomes incl. pivot (query.sh -n)
+
+    pivot_records = read_fasta(pivot_path)
+    if cfg.uppercase:
+        pivot_records = [r.upper() for r in pivot_records]
+    pivot_sha = _file_sha(pivot_path)
+
+    # DAP assembly: column j = document j in list order (reference index.sh:83).
+    ms_by_record = [np.zeros((len(r), len(doc_paths)), np.int32) for r in pivot_records]
+    for j, doc_path in enumerate(doc_paths):
+        cols = _ms_for_document(doc_path, pivot_records, pivot_sha, cfg)
+        for i, col in enumerate(cols):
+            ms_by_record[i][:, j] = col
+
+    store = store_from_ms(
+        ms_by_record,
+        record_names=[r.name for r in pivot_records],
+        record_lens=[len(r) for r in pivot_records],
+        n_docs=n_docs,
+        kind=cfg.kind,
+    )
+
+    if cfg.emit_compat:
+        emit_compat_artifacts(store, ms_by_record, pivot_path, cfg)
+    return store
+
+
+def store_from_ms(
+    ms_by_record: list[np.ndarray],
+    record_names: list[str],
+    record_lens: list[int],
+    n_docs: int,
+    kind: str,
+) -> IntervalStore:
+    """MS arrays -> sorted overlap-interval store (the DAP -> BED stage,
+    reference dap_to_bed.py, vectorized)."""
+    order_sort = kind == "conservation"
+    rec_ids, starts, ends, orders = [], [], [], []
+    for r, ms in enumerate(ms_by_record):
+        with stage_timer(f"intervals:{record_names[r]}"):
+            s, e, o = mem_overlap_intervals(ms, record_lens[r], order_sort=order_sort)
+        rec_ids.append(np.full(s.shape[0], r, np.int32))
+        starts.append(s)
+        ends.append(e)
+        orders.append(o)
+    store = IntervalStore(
+        record_names=list(record_names),
+        record_lens=np.asarray(record_lens, np.int64),
+        n_docs=n_docs,
+        kind=kind,
+        rec_id=np.concatenate(rec_ids) if rec_ids else np.zeros(0, np.int32),
+        start=np.concatenate(starts) if starts else np.zeros(0, np.int64),
+        end=np.concatenate(ends) if ends else np.zeros(0, np.int64),
+        order=np.concatenate(orders) if orders else np.zeros(0, np.int64),
+    )
+    log.info("built %s index: %s", kind, store.stats())
+    return store
+
+
+def emit_compat_artifacts(
+    store: IntervalStore, ms_by_record: list[np.ndarray], pivot_path: str, cfg: BuildConfig
+) -> None:
+    """Write the reference's on-disk artifact chain (index.sh:56,83,86-109)."""
+    from memo_tpu.io import compat
+
+    outdir = cfg.workdir or "."
+    os.makedirs(outdir, exist_ok=True)
+    prefix = cfg.compat_prefix or "memo"
+    write_fai(pivot_path)
+    compat.write_dap_text(ms_by_record, os.path.join(outdir, "dap.txt"))
+    compat.write_bed(store, os.path.join(outdir, f"{prefix}.bed"))
+    compat.write_parquet(store, os.path.join(outdir, f"{prefix}.parquet"))
+    manifest = {
+        "pivot": os.path.abspath(pivot_path),
+        "kind": store.kind,
+        "n_docs": store.n_docs,
+        "records": dict(zip(store.record_names, store.record_lens.tolist())),
+        "intervals": store.num_intervals,
+    }
+    with open(os.path.join(outdir, f"{prefix}.manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)

@@ -1,0 +1,199 @@
+"""MEM / MEM-overlap interval extraction from matching statistics.
+
+This replaces the reference's streaming Python row loop
+(reference dap_to_bed.py:116-134) with dense vectorized array transforms.
+
+Semantics reproduced exactly (verified against the reference as oracle):
+
+- A position ``p`` starts a MEM for column ``j`` iff ``ms[p-1, j] <= ms[p, j]``;
+  the first row of every record emits all columns (dap_to_bed.py:122-130).
+  The MEM interval is ``[p, p + ms[p, j])``.
+- ``order`` mode sorts each row's MS values descending first, decoupling
+  columns from documents (dap_to_bed.py:89-90) — "order MEMs".
+- ``overlap`` mode emits, per column, the overlap between consecutive MEMs
+  ``[max(starts), min(ends))`` when non-negative length — bookends (zero
+  length) included (dap_to_bed.py:93-109).
+- At the end of each record a sentinel DAP row ``pos=L, ms=[L]*D`` is
+  processed, producing past-the-end intervals ``[L, min(prev_end, 2L))``
+  (dap_to_bed.py:125-134); these are neutralized by query-time clipping but
+  are reproduced for index byte-parity.
+- Emission order is row-major (position, then column) — the order the
+  reference prints BED lines in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class _ColumnCarry:
+    """Streaming state carried between row chunks: per column, the last
+    emitted MEM interval (the reference's ``prev_mem_intervals_by_order``,
+    dap_to_bed.py:74) plus the previous MS row for the MEM rule."""
+
+    prev_start: np.ndarray  # int64[D], -1 if none
+    prev_end: np.ndarray  # int64[D]
+    prev_ms_row: np.ndarray | None  # [D] last MS row seen, None at record start
+
+    @classmethod
+    def fresh(cls, n_cols: int) -> "_ColumnCarry":
+        return cls(
+            prev_start=np.full(n_cols, -1, np.int64),
+            prev_end=np.full(n_cols, -1, np.int64),
+            prev_ms_row=None,
+        )
+
+
+def _emit_chunk(
+    ms: np.ndarray,  # int[P, D] MS rows of this chunk (already order-sorted if needed)
+    pos0: int,  # global position of the first row within the record
+    carry: _ColumnCarry,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, _ColumnCarry]:
+    """Emit overlap intervals for one chunk of DAP rows, updating carry.
+
+    Returns (starts, ends, orders) in emission order; orders are 1-based
+    column indices (dap_to_bed.py:52, enumerate start=1).
+    """
+    P, D = ms.shape
+    pos = pos0 + np.arange(P, dtype=np.int64)
+
+    # MEM rule: emit iff prev_ms <= cur_ms; very first row of a record emits all.
+    emit = np.empty((P, D), dtype=bool)
+    if carry.prev_ms_row is None:
+        emit[0] = True
+    else:
+        emit[0] = carry.prev_ms_row <= ms[0]
+    if P > 1:
+        emit[1:] = ms[:-1] <= ms[1:]
+
+    mem_end = pos[:, None] + ms.astype(np.int64)
+
+    # Index of the previous emitted row per (row, column), -1 if none in chunk.
+    row_idx = np.arange(P, dtype=np.int64)[:, None]
+    ridx = np.where(emit, row_idx, np.int64(-1))
+    last = np.maximum.accumulate(ridx, axis=0)
+    prev = np.empty_like(last)
+    prev[0] = -1
+    prev[1:] = last[:-1]
+
+    cols = np.arange(D)
+    prev_safe = np.maximum(prev, 0)
+    prev_start = np.where(prev >= 0, pos[prev_safe], carry.prev_start[None, :])
+    prev_end = np.where(prev >= 0, mem_end[prev_safe, cols[None, :]], carry.prev_end[None, :])
+    has_prev = (prev >= 0) | (carry.prev_start >= 0)[None, :]
+
+    # Overlap between consecutive MEMs: starts strictly increase, so
+    # max(starts) == current start; bookends (end == start) are kept.
+    ov_start = np.broadcast_to(pos[:, None], (P, D))
+    ov_end = np.minimum(prev_end, mem_end)
+    out_mask = emit & has_prev & (ov_end >= ov_start)
+
+    rows, colsel = np.nonzero(out_mask)  # row-major == reference print order
+    starts = pos[rows]
+    ends = ov_end[rows, colsel]
+    orders = colsel.astype(np.int64) + 1
+
+    # Update carry with the last emitted MEM per column.
+    ridx_all = np.where(emit, row_idx, np.int64(-1))
+    last_row = ridx_all.max(axis=0)
+    any_emit = last_row >= 0
+    new_carry = _ColumnCarry(
+        prev_start=np.where(any_emit, pos[np.maximum(last_row, 0)], carry.prev_start),
+        prev_end=np.where(any_emit, mem_end[np.maximum(last_row, 0), cols], carry.prev_end),
+        prev_ms_row=ms[-1].copy(),
+    )
+    return starts, ends, orders, new_carry
+
+
+def mem_overlap_intervals(
+    ms: np.ndarray,
+    record_len: int | None = None,
+    order_sort: bool = False,
+    chunk_rows: int = 1 << 22,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All overlap intervals for one pivot record.
+
+    Args:
+      ms: int array ``[P, D]`` of matching statistics (P = record length,
+        D = number of non-pivot documents).
+      record_len: pivot record length L (defaults to P). The reference's
+        sentinel row uses the .fai length (dap_to_bed.py:126-133).
+      order_sort: sort each row descending first (conservation "order MEMs").
+      chunk_rows: rows processed per block (bounds peak memory).
+
+    Returns (starts, ends, orders) int64 arrays in reference emission order.
+    """
+    ms = np.asarray(ms)
+    if ms.ndim != 2:
+        raise ValueError("ms must be 2-D [positions, documents]")
+    P, D = ms.shape
+    L = int(record_len) if record_len is not None else P
+
+    if order_sort:
+        # Row-wise descending sort (the reference's list.sort(reverse=True),
+        # dap_to_bed.py:89-90).
+        ms = -np.sort(-ms, axis=1)
+
+    out_s: list[np.ndarray] = []
+    out_e: list[np.ndarray] = []
+    out_o: list[np.ndarray] = []
+    carry = _ColumnCarry.fresh(D)
+    for lo in range(0, P, chunk_rows):
+        chunk = ms[lo : lo + chunk_rows]
+        s, e, o, carry = _emit_chunk(chunk, lo, carry)
+        out_s.append(s)
+        out_e.append(e)
+        out_o.append(o)
+
+    # Sentinel end-of-record row: pos=L, ms=[L]*D. The reference prints it via
+    # print_current_dap_row (dap_to_bed.py:125-134), which bypasses the MEM
+    # rule — every column emits unconditionally; clearing prev_ms_row puts the
+    # chunk in that "first row emits all" mode while keeping prev intervals.
+    carry.prev_ms_row = None
+    sent = np.full((1, D), L, dtype=np.int64)
+    s, e, o, carry = _emit_chunk(sent, L, carry)
+    out_s.append(s)
+    out_e.append(e)
+    out_o.append(o)
+
+    return (
+        np.concatenate(out_s) if out_s else np.empty(0, np.int64),
+        np.concatenate(out_e) if out_e else np.empty(0, np.int64),
+        np.concatenate(out_o) if out_o else np.empty(0, np.int64),
+    )
+
+
+def mem_intervals(
+    ms: np.ndarray,
+    record_len: int | None = None,
+    order_sort: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Plain MEM intervals (no ``--overlap``; reference dap_to_bed.py:108-109
+    else-branch): every MEM ``[p, p+ms)`` including the sentinel row."""
+    ms = np.asarray(ms)
+    P, D = ms.shape
+    L = int(record_len) if record_len is not None else P
+    if order_sort:
+        ms = -np.sort(-ms, axis=1)
+
+    pos = np.arange(P, dtype=np.int64)
+    emit = np.empty((P, D), dtype=bool)
+    emit[0] = True
+    if P > 1:
+        emit[1:] = ms[:-1] <= ms[1:]
+    rows, cols = np.nonzero(emit)
+    starts = pos[rows]
+    ends = starts + ms[rows, cols].astype(np.int64)
+    orders = cols.astype(np.int64) + 1
+
+    sent_starts = np.full(D, L, np.int64)
+    sent_ends = np.full(D, 2 * L, np.int64)
+    sent_orders = np.arange(1, D + 1, dtype=np.int64)
+    return (
+        np.concatenate([starts, sent_starts]),
+        np.concatenate([ends, sent_ends]),
+        np.concatenate([orders, sent_orders]),
+    )

@@ -1,0 +1,153 @@
+"""Reference-format compatibility: BED text and ZSTD Parquet index files.
+
+The native index format is :class:`memo_tpu.index.store.IntervalStore` (.npz);
+these importers/exporters interoperate with indexes produced by the reference
+pipeline (reference index.sh:86-109, parquet_compress_bed.py:16-39), so a
+reference user can bring their existing .bed/.parquet index.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import IO
+
+import numpy as np
+
+from memo_tpu.index.store import IntervalStore
+
+
+def write_bed(store: IntervalStore, path_or_file: str | os.PathLike | IO[bytes]) -> None:
+    """Write the store as reference-identical BED text: one
+    ``name\\tstart\\tend\\torder`` line per interval in emission order
+    (reference dap_to_bed.py:104, '\\t'.join)."""
+    own = not hasattr(path_or_file, "write")
+    out = open(path_or_file, "wb") if own else path_or_file
+    try:
+        for r in range(store.num_records):
+            lo, hi = store.rec_offsets[r], store.rec_offsets[r + 1]
+            if hi == lo:
+                continue
+            name = store.record_names[r].encode()
+            block = np.stack(
+                [store.start[lo:hi], store.end[lo:hi], store.order[lo:hi].astype(np.int64)],
+                axis=1,
+            )
+            lines = b"\n".join(
+                name + b"\t" + b"\t".join(str(v).encode() for v in row) for row in block.tolist()
+            )
+            out.write(lines + b"\n")
+    finally:
+        if own:
+            out.close()
+
+
+def write_parquet(store: IntervalStore, path: str | os.PathLike, codec: str = "ZSTD") -> None:
+    """Write the reference Parquet schema: f0 utf8, f1/f2/f3 int64, ZSTD
+    (reference parquet_compress_bed.py:21-26)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = np.array(store.record_names, dtype=object)[store.rec_id]
+    table = pa.table(
+        {
+            "f0": pa.array(names, type=pa.utf8()),
+            "f1": pa.array(store.start, type=pa.int64()),
+            "f2": pa.array(store.end, type=pa.int64()),
+            "f3": pa.array(store.order.astype(np.int64), type=pa.int64()),
+        }
+    )
+    pq.write_table(table, str(path), compression=codec)
+
+
+def _store_from_rows(
+    names: np.ndarray, f1: np.ndarray, f2: np.ndarray, f3: np.ndarray, n_docs: int, kind: str
+) -> IntervalStore:
+    # Records appear contiguously in reference emission order; keep file order.
+    record_names: list[str] = []
+    rec_of_name: dict[str, int] = {}
+    rec_id = np.empty(len(names), np.int32)
+    for i, nm in enumerate(names):
+        if nm not in rec_of_name:
+            rec_of_name[nm] = len(record_names)
+            record_names.append(nm)
+        rec_id[i] = rec_of_name[nm]
+    # Record length is only metadata for imports (query clipping uses the
+    # region bounds, memo_query.py:44-48); the end-of-record sentinel rows
+    # have start == record length, so max(start) recovers it when present.
+    record_lens = np.zeros(len(record_names), np.int64)
+    for r in range(len(record_names)):
+        sel = rec_id == r
+        if sel.any():
+            record_lens[r] = f1[sel].max()
+    return IntervalStore(
+        record_names=record_names,
+        record_lens=record_lens,
+        n_docs=n_docs,
+        kind=kind,
+        rec_id=rec_id,
+        start=f1.astype(np.int64),
+        end=f2.astype(np.int64),
+        order=f3.astype(np.int64),
+    )
+
+
+def read_parquet(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalStore:
+    """Import a reference-produced Parquet index (schema f0..f3)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(path))
+    names = np.asarray(t.column("f0").to_pylist())
+    f1 = np.asarray(t.column("f1"))
+    f2 = np.asarray(t.column("f2"))
+    f3 = np.asarray(t.column("f3"))
+    return _store_from_rows(names, f1, f2, f3, n_docs, kind)
+
+
+def read_bed(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalStore:
+    """Import a reference-produced BED index."""
+    names: list[str] = []
+    f1: list[int] = []
+    f2: list[int] = []
+    f3: list[int] = []
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a, b, c, d = line.rstrip("\n").split("\t")
+            names.append(a)
+            f1.append(int(b))
+            f2.append(int(c))
+            f3.append(int(d))
+    return _store_from_rows(
+        np.asarray(names), np.asarray(f1), np.asarray(f2), np.asarray(f3), n_docs, kind
+    )
+
+
+def write_dap_text(ms_by_record: list[np.ndarray], path: str | os.PathLike) -> None:
+    """Emit the reference dap.txt: ``pos ms_g2 ms_g3 ...`` single-space
+    separated, global 0-based positions over the record concatenation
+    (reference index.sh:83, paste|nl)."""
+    with open(path, "w") as out:
+        pos = 0
+        for ms in ms_by_record:
+            for row in ms.tolist():
+                out.write(" ".join(map(str, [pos] + list(row))) + "\n")
+                pos += 1
+
+
+def read_dap_text(path: str | os.PathLike, record_lens: list[int]) -> list[np.ndarray]:
+    """Parse a reference dap.txt back into per-record MS arrays."""
+    rows: list[list[int]] = []
+    with open(path) as fh:
+        for line in fh:
+            if line.strip():
+                rows.append([int(x) for x in line.split(" ")[1:]])
+    arr = np.asarray(rows, dtype=np.int64)
+    out = []
+    off = 0
+    for L in record_lens:
+        out.append(arr[off : off + L])
+        off += L
+    if off != arr.shape[0]:
+        raise ValueError(f"dap has {arr.shape[0]} rows, record lens sum to {off}")
+    return out

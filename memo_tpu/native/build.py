@@ -1,0 +1,82 @@
+"""Build and load the native matching-statistics library (libms).
+
+Compiles ``libms.cpp`` on first use with g++ into a per-source-hash cached
+shared object, then binds it via ctypes (no pybind11 dependency). If no C++
+toolchain is available the caller falls back to the pure-Python automaton in
+:mod:`memo_tpu.index.ms`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+_SRC = os.path.join(os.path.dirname(__file__), "libms.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_FAILED: str | None = None
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("MEMO_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "memo_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), f"libms-{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        so_path + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(so_path + ".tmp", so_path)
+    return so_path
+
+
+def load_libms() -> ctypes.CDLL | None:
+    """Compile (cached) and load libms; returns None if unavailable."""
+    global _LIB, _FAILED
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _FAILED is not None:
+            return None
+        try:
+            lib = ctypes.CDLL(_build())
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+            _FAILED = str(e)
+            return None
+        lib.ms_build.restype = ctypes.c_void_p
+        lib.ms_build.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.ms_free.restype = None
+        lib.ms_free.argtypes = [ctypes.c_void_p]
+        lib.ms_num_states.restype = ctypes.c_int64
+        lib.ms_num_states.argtypes = [ctypes.c_void_p]
+        lib.ms_query.restype = None
+        lib.ms_query.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _LIB = lib
+        return lib
+
+
+def build_error() -> str | None:
+    return _FAILED

@@ -1,0 +1,215 @@
+"""Query orchestration: interval store -> device -> conservation/membership.
+
+Replaces the reference's single-process CPU stack (memo_query.py main,
+filter_pq -> memo_init -> numba memo_query -> print_res) with:
+
+1. host-side binary search for a candidate row range (store.window_bounds —
+   the Parquet predicate-pushdown replacement),
+2. a jitted device program per (window-length, interval-bucket) shape:
+   dynamic-slice the device-resident store, cast/clip/shadow-cast, dense
+   difference-array coverage, conservation/membership reduction
+   (memo_tpu.ops.query_ops; optionally the fused Pallas kernel),
+3. bit-exact text formatting (memo_tpu.query.output).
+
+Large windows are processed in fixed-size position chunks: marking of a
+position depends only on intervals covering it (proof in ops/query_ops.py),
+so chunked results concatenate exactly — the same property the multi-chip
+position sharding relies on (memo_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from memo_tpu.index.store import IntervalStore
+from memo_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+@dataclasses.dataclass
+class QueryStats:
+    """Per-query observability counters (the reference has none; SURVEY §5)."""
+
+    candidate_intervals: int = 0
+    chunks: int = 0
+    positions: int = 0
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class QueryEngine:
+    """Arbitrary-k membership/conservation queries over an IntervalStore.
+
+    backend:
+      - "jax": jnp ops on the default device (TPU when present)
+      - "pallas": fused Pallas TPU kernel for the coverage scan
+      - "numpy": host fallback / cross-check
+    """
+
+    def __init__(
+        self,
+        store: IntervalStore,
+        backend: str = "jax",
+        chunk_positions: int = 1 << 17,
+        max_intervals_per_chunk: int = 1 << 22,
+    ):
+        if store.kind not in ("conservation", "membership"):
+            raise ValueError(f"bad store kind {store.kind!r}")
+        self.store = store
+        self.backend = backend
+        self.chunk_positions = int(chunk_positions)
+        self.max_intervals = int(max_intervals_per_chunk)
+        self.n_docs = store.n_docs
+        self.last_stats = QueryStats()
+
+        if backend in ("jax", "pallas"):
+            import jax.numpy as jnp
+
+            # Device-resident store, padded with sentinel rows (order=-1 is
+            # dropped by the kernels) so dynamic_slice never clamps/shifts.
+            # The pad only needs to cover the largest slice bucket, which is
+            # bounded by the store size.
+            pad = min(self.max_intervals, _next_pow2(max(store.num_intervals, 1)))
+            self._d_start = jnp.asarray(
+                np.concatenate([store.start, np.zeros(pad, np.int64)]).astype(np.int32)
+            )
+            self._d_end = jnp.asarray(
+                np.concatenate([store.end, np.zeros(pad, np.int64)]).astype(np.int32)
+            )
+            self._d_order = jnp.asarray(
+                np.concatenate([store.order, np.full(pad, -1, np.int32)]).astype(np.int32)
+            )
+        elif backend != "numpy":
+            raise ValueError(f"unknown backend {backend!r}")
+
+    # ------------------------------------------------------------------ public
+    def conservation(self, record: str, qs: int, qe: int, k: int) -> np.ndarray:
+        """int array [qe-qs] of per-position conservation values in [0, n]."""
+        return self._query(record, qs, qe, k, membership=False)
+
+    def membership(self, record: str, qs: int, qe: int, k: int) -> np.ndarray:
+        """int8 array [qe-qs, n] presence/absence matrix (col 0 = pivot = 1)."""
+        return self._query(record, qs, qe, k, membership=True)
+
+    def query_region(self, region: str, k: int, membership: bool = False) -> np.ndarray:
+        record, qs, qe = parse_region(region)
+        return self._query(record, qs, qe, k, membership=membership)
+
+    # ----------------------------------------------------------------- internals
+    def _query(self, record: str, qs: int, qe: int, k: int, membership: bool) -> np.ndarray:
+        if qe < qs:
+            raise ValueError(f"empty/negative region {record}:{qs}-{qe}")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        L_total = qe - qs
+        n = self.n_docs
+        stats = QueryStats(positions=L_total)
+        outputs: list[np.ndarray] = []
+        for c_qs in range(qs, qe, self.chunk_positions):
+            c_qe = min(c_qs + self.chunk_positions, qe)
+            outputs.append(self._query_chunk(record, c_qs, c_qe, k, membership, stats))
+            stats.chunks += 1
+        self.last_stats = stats
+        if membership:
+            return (
+                np.concatenate(outputs, axis=0)
+                if outputs
+                else np.zeros((0, n), np.int8)
+            )
+        return np.concatenate(outputs) if outputs else np.zeros(0, np.int64)
+
+    def _query_chunk(
+        self, record: str, qs: int, qe: int, k: int, membership: bool, stats: QueryStats
+    ) -> np.ndarray:
+        lo, hi = self.store.window_bounds(record, qs, qe, k)
+        count = hi - lo
+        stats.candidate_intervals += count
+        L = qe - qs
+        n = self.n_docs
+
+        if self.backend == "numpy":
+            from memo_tpu.ops import query_ops as Q
+
+            s = self.store.start[lo:hi]
+            e = self.store.end[lo:hi]
+            o = self.store.order[lo:hi]
+            marks = Q.coverage_marks_np(s, e, o, qs, k, L, n)
+            return Q.membership_np(marks) if membership else Q.conservation_np(marks, n)
+
+        # jax / pallas path: pad candidate count to a bucket for jit reuse.
+        M = min(_next_pow2(max(count, 1)), self.max_intervals)
+        if count > M:
+            # More candidates than the bucket cap: fall back to smaller
+            # position chunks (halving preserves exactness).
+            mid = (qs + qe) // 2
+            if mid == qs:
+                raise RuntimeError("interval bucket overflow on a single position")
+            left = self._query_chunk(record, qs, mid, k, membership, stats)
+            right = self._query_chunk(record, mid, qe, k, membership, stats)
+            return np.concatenate([left, right], axis=0)
+
+        r = self.store.record_index(record)
+        rec_end = int(self.store.rec_offsets[r + 1])
+        import jax.numpy as jnp
+
+        run = _device_query_fn(M, L, self.n_docs, membership, self.backend == "pallas")
+        out = run(
+            self._d_start,
+            self._d_end,
+            self._d_order,
+            jnp.int32(lo),
+            jnp.int32(rec_end),
+            jnp.int32(qs),
+            jnp.int32(k),
+        )
+        return np.asarray(out)
+
+
+@functools.lru_cache(maxsize=256)
+def _device_query_fn(M: int, L: int, n: int, membership: bool, use_pallas: bool):
+    """One compiled device program per (bucket, window, mode) shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from memo_tpu.ops import query_ops as Q
+
+    @jax.jit
+    def run(d_start, d_end, d_order, lo, rec_end, qs, k):
+        s = lax.dynamic_slice(d_start, (lo,), (M,))
+        e = lax.dynamic_slice(d_end, (lo,), (M,))
+        o = lax.dynamic_slice(d_order, (lo,), (M,))
+        # Rows past the record boundary belong to another record's coordinate
+        # space; mask them out (rows past `hi` but before the boundary clip to
+        # empty and are harmless — see query_ops).
+        idx = lo + jnp.arange(M, dtype=jnp.int32)
+        o = jnp.where(idx < rec_end, o, -1)
+        if use_pallas:
+            from memo_tpu.ops.pallas_query import coverage_marks_pallas
+
+            marks = coverage_marks_pallas(s, e, o, qs, k, L=L, C=n)
+        else:
+            marks = Q.coverage_marks(s, e, o, qs, k, L=L, C=n)
+        if membership:
+            return Q.membership_from_marks(marks)
+        return Q.conservation_from_marks(marks, n)
+
+    return run
+
+
+def parse_region(region: str) -> tuple[str, int, int]:
+    """Parse ``chr:start-end`` (0-indexed half-open, reference query.sh:24)."""
+    record, _, start_end = region.rpartition(":")
+    if not record:
+        raise ValueError(f"bad region {region!r}, expected chr:start-end")
+    start_s, _, end_s = start_end.partition("-")
+    return record, int(start_s), int(end_s)

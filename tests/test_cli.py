@@ -1,0 +1,148 @@
+"""End-to-end CLI: index -> query -> view on the in-repo toy pangenome,
+exercising the reference's flag contract (memo index|query|view)."""
+
+import numpy as np
+import pytest
+
+from memo_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory, example_dir_module):
+    out = tmp_path_factory.mktemp("idx")
+    rc = main(
+        [
+            "index",
+            "-g", str(example_dir_module / "genome_list.txt"),
+            "-o", str(out),
+            "-p", "test",
+            "--ms-backend", "python",
+            "--emit-compat",
+        ]
+    )
+    assert rc == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def example_dir_module():
+    import pathlib
+
+    d = pathlib.Path(__file__).resolve().parent / "data" / "example"
+    assert d.exists()
+    return d
+
+
+def test_index_outputs(built_index):
+    assert (built_index / "test.npz").exists()
+    assert (built_index / "test.bed").exists()
+    assert (built_index / "test.parquet").exists()
+    assert (built_index / "dap.txt").exists()
+    assert (built_index / "test.manifest.json").exists()
+
+
+def test_query_conservation(built_index, tmp_path):
+    out = tmp_path / "cons.txt"
+    rc = main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "-n", "5",
+            "-r", "piv_1:0-40",
+            "-o", str(out),
+            "--backend", "jax",
+        ]
+    )
+    assert rc == 0
+    vals = np.loadtxt(out, dtype=int)
+    assert vals.shape == (40,)
+    assert vals.min() >= 1 and vals.max() <= 5
+
+
+def test_query_parquet_equals_npz(built_index, tmp_path):
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    for idx, out in [(built_index / "test.npz", a), (built_index / "test.parquet", b)]:
+        main(
+            [
+                "query",
+                "-b", str(idx),
+                "-k", "4",
+                "-n", "5",
+                "-r", "piv_1:5-60",
+                "-o", str(out),
+                "--backend", "numpy",
+            ]
+        )
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_membership_query(built_index, tmp_path, example_dir_module):
+    # membership needs a membership index
+    out_dir = tmp_path / "midx"
+    main(
+        [
+            "index",
+            "-g", str(example_dir_module / "genome_list.txt"),
+            "-o", str(out_dir),
+            "-p", "m",
+            "-m",
+            "--ms-backend", "python",
+        ]
+    )
+    out = tmp_path / "memb.txt"
+    rc = main(
+        [
+            "query",
+            "-b", str(out_dir / "m.npz"),
+            "-k", "3",
+            "-n", "5",
+            "-r", "piv_1:0-20",
+            "-o", str(out),
+            "-m",
+            "--backend", "jax",
+        ]
+    )
+    assert rc == 0
+    mat = np.loadtxt(out, dtype=int)
+    assert mat.shape == (20, 5)
+    assert (mat[:, 0] == 1).all()  # pivot column always 1 (memo_query.py:50-51)
+    assert set(np.unique(mat)) <= {0, 1}
+
+
+def test_view(built_index, tmp_path):
+    cons = tmp_path / "cons.txt"
+    main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "-n", "5",
+            "-r", "piv_1:0-70",
+            "-o", str(cons),
+            "--backend", "numpy",
+        ]
+    )
+    png = tmp_path / "out.png"
+    rc = main(["view", "-i", str(cons), "-o", str(png), "-n", "5", "-b", "4", "-d", "72"])
+    assert rc == 0
+    assert png.stat().st_size > 1000
+
+
+def test_ms_cache_resume(built_index, example_dir_module, tmp_path, caplog):
+    # second build in the same workdir hits the MS cache (resumable manifest)
+    import logging
+
+    rc = main(
+        [
+            "index",
+            "-g", str(example_dir_module / "genome_list.txt"),
+            "-o", str(built_index),
+            "-p", "test2",
+            "--ms-backend", "python",
+        ]
+    )
+    assert rc == 0
+    assert (built_index / "test2.npz").exists()
+    caches = list(built_index.glob("ms-*.npz"))
+    assert len(caches) == 4  # one per non-pivot document
