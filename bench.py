@@ -1,0 +1,131 @@
+"""memo-tpu headline benchmark (driver-run, one JSON line on stdout).
+
+Metric (BASELINE.md north star): conservation-query throughput in Mbp of
+query window per second per chip at k=31, on a synthetic pangenome index
+(random DAP -> MEM-overlap interval store, the exact construction path).
+
+``vs_baseline`` is the speedup over the reference's query hot path — the
+per-interval slice-write loop + argmax of memo_query.py:42-71. The reference
+JITs that loop with numba; numba is not in this image, so the baseline runs
+the same loop as numpy slice writes (each ``rec[ce:st, order] = bit`` is a
+C-speed memset — on mostly-long intervals this is at least numba-fast, making
+the reported speedup conservative).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+K = 31
+N_DOCS = 16  # pangenome size incl. pivot
+PIVOT_LEN = 1 << 21  # 2 Mbp pivot
+WINDOW = 1 << 19  # positions per query window
+REPS = 3
+
+
+def build_store(rng):
+    from memo_tpu.index.builder import store_from_ms
+
+    # MS columns with genome-like long-match structure: piecewise runs that
+    # decay by 1 (exact-match runs) interleaved with low-identity stretches.
+    n_cols = N_DOCS - 1
+    ms = np.zeros((PIVOT_LEN, n_cols), np.int32)
+    for c in range(n_cols):
+        pos = 0
+        while pos < PIVOT_LEN:
+            run = int(rng.integers(40, 4000))
+            run = min(run, PIVOT_LEN - pos)
+            if rng.random() < 0.8:  # conserved stretch: MS counts down from run
+                ms[pos : pos + run, c] = np.arange(run, 0, -1)
+            else:  # diverged stretch: short noisy matches
+                ms[pos : pos + run, c] = rng.integers(0, K - 1, run)
+            pos += run
+    return store_from_ms([ms], ["chr1"], [PIVOT_LEN], N_DOCS, "conservation")
+
+
+def reference_query_np(store, qs: int, qe: int, k: int) -> np.ndarray:
+    """The reference query path (memo_query.py:42-71) on this window:
+    recenter/shadow-cast/clip, per-interval slice writes, argmax."""
+    lo, hi = store.window_bounds("chr1", qs, qe, k)
+    L = qe - qs
+    n = store.n_docs
+    starts = store.start[lo:hi] - qs
+    ends = store.end[lo:hi] - qs - (k - 1)
+    orders = store.order[lo:hi]
+    starts = np.clip(starts, 0, L)
+    ends = np.clip(ends, 0, L)
+    keep = ends < starts
+    starts, ends, orders = starts[keep], ends[keep], orders[keep]
+    rec = np.zeros((L, n + 1), bool)
+    rec[:, n] = True
+    for s, ce, o in zip(starts, ends, orders):
+        rec[ce:s, o] = True
+    return np.argmax(rec, axis=1)
+
+
+def main() -> int:
+    import jax
+
+    from memo_tpu.query.engine import QueryEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "jax"
+
+    rng = np.random.default_rng(12345)
+    store = build_store(rng)
+    engine = QueryEngine(store, backend=backend)
+    windows = [(w, min(w + WINDOW, PIVOT_LEN)) for w in range(0, PIVOT_LEN, WINDOW)]
+
+    # Warmup: compile every (bucket, window) shape once.
+    for qs, qe in windows:
+        engine.conservation("chr1", qs, qe, K)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        for qs, qe in windows:
+            engine.conservation("chr1", qs, qe, K)
+    dt = time.perf_counter() - t0
+    mbp_s = REPS * PIVOT_LEN / dt / 1e6
+
+    # Reference baseline on the same windows (one rep; it is slow).
+    t0 = time.perf_counter()
+    ref_out = [reference_query_np(store, qs, qe, K) for qs, qe in windows]
+    ref_dt = time.perf_counter() - t0
+    ref_mbp_s = PIVOT_LEN / ref_dt / 1e6
+
+    # Exactness guard: the bench only counts if outputs match the reference.
+    got = np.concatenate([np.asarray(engine.conservation("chr1", qs, qe, K)) for qs, qe in windows])
+    want = np.concatenate(ref_out)
+    if not np.array_equal(got, want):
+        print(json.dumps({"metric": "conservation_query_throughput", "value": 0.0,
+                          "unit": "Mbp/s", "vs_baseline": 0.0, "error": "output mismatch"}))
+        return 1
+
+    print(
+        json.dumps(
+            {
+                "metric": "conservation_query_throughput",
+                "value": round(mbp_s, 3),
+                "unit": "Mbp/s",
+                "vs_baseline": round(mbp_s / ref_mbp_s, 3),
+                "detail": {
+                    "k": K,
+                    "n_docs": N_DOCS,
+                    "pivot_mbp": PIVOT_LEN / 1e6,
+                    "intervals": store.num_intervals,
+                    "backend": backend,
+                    "device": jax.devices()[0].platform,
+                    "baseline_mbp_s": round(ref_mbp_s, 3),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

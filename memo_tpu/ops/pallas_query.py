@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from memo_tpu.ops.query_ops import cast_and_clip
 
 TILE = 256  # positions per grid step
-EVENT_CHUNK = 512  # events DMA'd per inner-loop step
+EVENT_LANES = 512  # events per HBM row
+EVENT_ROWS = 8  # rows per DMA block — sublane tiling requires 8-aligned slices
+EVENT_CHUNK = EVENT_ROWS * EVENT_LANES  # events DMA'd per inner-loop step
 
 
 def _round_up(x: int, m: int) -> int:
@@ -57,41 +59,48 @@ def _coverage_kernel(off_ref, pos_hbm, val_hbm, out_ref, pos_buf, val_buf, sem, 
 
     lo = off_ref[t]
     hi = off_ref[t + 1]
-    n_chunks = pl.cdiv(hi - lo, EVENT_CHUNK)
+    # Events live in [rows, EVENT_LANES] HBM arrays; DMA 8-row blocks (the
+    # sublane tile — arbitrary row offsets are not sliceable) and mask each
+    # block's flat event range to this tile's [lo, hi).
+    blk_lo = lo // EVENT_CHUNK
+    n_chunks = pl.cdiv(hi, EVENT_CHUNK) - blk_lo
 
     def chunk_body(i, _):
-        start = lo + i * EVENT_CHUNK
+        row0 = pl.multiple_of((blk_lo + i) * EVENT_ROWS, EVENT_ROWS)
         cp_p = pltpu.make_async_copy(
-            pos_hbm.at[pl.ds(start, EVENT_CHUNK)], pos_buf.at[0], sem.at[0]
+            pos_hbm.at[pl.ds(row0, EVENT_ROWS), :], pos_buf, sem.at[0]
         )
         cp_v = pltpu.make_async_copy(
-            val_hbm.at[pl.ds(start, EVENT_CHUNK)], val_buf.at[0], sem.at[1]
+            val_hbm.at[pl.ds(row0, EVENT_ROWS), :], val_buf, sem.at[1]
         )
         cp_p.start()
         cp_v.start()
         cp_p.wait()
         cp_v.wait()
 
-        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, EVENT_CHUNK), 1)
-        in_tile = (start + e_idx) < hi  # mask chunk overread into later tiles
-        p_local = pos_buf[0:1, :] - base  # (1, E)
-        v = val_buf[0:1, :]
-        delta = jnp.where(in_tile, jnp.sign(v), 0).astype(jnp.float32)  # (1, E)
-        col = jnp.abs(v) - 1  # (1, E); invalid events have v=0 -> col=-1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, EVENT_LANES), 1)
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EVENT_LANES), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, EVENT_LANES), 0)
+        contrib = jnp.zeros((T, C), jnp.float32)
+        for j in range(EVENT_ROWS):
+            e_idx = (row0 + j) * EVENT_LANES + lane
+            in_tile = (e_idx >= lo) & (e_idx < hi)  # mask overread into other tiles
+            p_local = pos_buf[j : j + 1, :] - base  # (1, E)
+            v = val_buf[j : j + 1, :]
+            delta = jnp.where(in_tile, jnp.sign(v), 0).astype(jnp.float32)  # (1, E)
+            col = jnp.abs(v) - 1  # (1, E); invalid events have v=0 -> col=-1
 
-        # A_T[p, e] = 1 iff event e is at or before tile position p.
-        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EVENT_CHUNK), 0)
-        a_t = (pos_iota >= p_local).astype(jnp.float32)  # (T, E)
-        # B_T[c, e] = delta_e iff event e targets column c.
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, EVENT_CHUNK), 0)
-        b_t = jnp.where(col_iota == col, delta, 0.0)  # (C, E)
+            # A_T[p, e] = 1 iff event e is at or before tile position p.
+            a_t = (pos_iota >= p_local).astype(jnp.float32)  # (T, E)
+            # B_T[c, e] = delta_e iff event e targets column c.
+            b_t = jnp.where(col_iota == col, delta, 0.0)  # (C, E)
 
-        contrib = jax.lax.dot_general(
-            a_t,
-            b_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (T, C)
+            contrib = contrib + jax.lax.dot_general(
+                a_t,
+                b_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, C)
         out_ref[...] = out_ref[...] + contrib
         return 0
 
@@ -132,22 +141,32 @@ def coverage_marks_pallas(starts, ends, orders, qs, k, *, L: int, C: int, interp
     val_s = val[sort_idx]
     boundaries = jnp.arange(nt + 1, dtype=jnp.int32) * TILE
     offsets = jnp.searchsorted(pos_s, boundaries, side="left").astype(jnp.int32)
-    # Pad so chunked DMA never reads past the end.
-    pad = EVENT_CHUNK
-    pos_s = jnp.concatenate([pos_s, jnp.full((pad,), big, jnp.int32)])
-    val_s = jnp.concatenate([val_s, jnp.zeros((pad,), jnp.int32)])
+    # Reshape events to [rows, EVENT_LANES] (rows padded to the 8-row sublane
+    # tile) so the kernel DMAs whole aligned blocks; the tail is padded with
+    # inert events (pos=big, val=0).
+    n_events = pos_s.shape[0]
+    n_rows = _round_up(n_events, EVENT_CHUNK) // EVENT_LANES
+    pad = n_rows * EVENT_LANES - n_events
+    pos_s = jnp.concatenate([pos_s, jnp.full((pad,), big, jnp.int32)]).reshape(
+        n_rows, EVENT_LANES
+    )
+    val_s = jnp.concatenate([val_s, jnp.zeros((pad,), jnp.int32)]).reshape(
+        n_rows, EVENT_LANES
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # Events stay in HBM and are DMA'd row-by-row: arbitrary-row
+            # slicing of a VMEM-resident ref violates sublane tiling.
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((TILE, C_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, EVENT_CHUNK), jnp.int32),
-            pltpu.VMEM((1, EVENT_CHUNK), jnp.int32),
+            pltpu.VMEM((EVENT_ROWS, EVENT_LANES), jnp.int32),
+            pltpu.VMEM((EVENT_ROWS, EVENT_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, C_pad), jnp.float32),
         ],

@@ -41,9 +41,13 @@ def cast_and_clip(starts, ends, qs, L, k):
     return st, ce, ce < st
 
 
-@functools.partial(jax.jit, static_argnames=("L", "C"))
-def coverage_marks(starts, ends, orders, qs, k, *, L: int, C: int) -> jax.Array:
-    """bool[L, C] absence marks for one window.
+def coverage_counts(starts, ends, orders, qs, k, *, L: int, C: int) -> jax.Array:
+    """int32[L, C] interval-coverage counts for one window.
+
+    ``counts[p, c]`` = number of stored intervals of column c whose shadow-cast
+    span covers window position p. Additive over any partition of the interval
+    set — the property the interval-sharded multi-device path's ``psum`` relies
+    on (memo_tpu/parallel/sharded.py).
 
     Args:
       starts/ends/orders: int32[M] padded candidate intervals (absolute pivot
@@ -63,8 +67,13 @@ def coverage_marks(starts, ends, orders, qs, k, *, L: int, C: int) -> jax.Array:
         .at[idx_plus].add(1, mode="drop")
         .at[idx_minus].add(-1, mode="drop")
     )
-    cov = jnp.cumsum(diff[: L * C].reshape(L, C), axis=0)
-    return cov > 0
+    return jnp.cumsum(diff[: L * C].reshape(L, C), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "C"))
+def coverage_marks(starts, ends, orders, qs, k, *, L: int, C: int) -> jax.Array:
+    """bool[L, C] absence marks for one window (counts > 0)."""
+    return coverage_counts(starts, ends, orders, qs, k, L=L, C=C) > 0
 
 
 def conservation_from_marks(marks: jax.Array, n_docs: int) -> jax.Array:

@@ -1,0 +1,8 @@
+"""Multi-device / multi-host execution (SPMD over a jax.sharding.Mesh)."""
+
+from memo_tpu.parallel.sharded import (  # noqa: F401
+    ShardedQuery,
+    make_mesh,
+    conservation_batch,
+    membership_batch,
+)

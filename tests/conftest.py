@@ -6,12 +6,17 @@ import os
 
 # Force the CPU platform: the session env may point JAX at a tunneled TPU
 # (JAX_PLATFORMS=axon), which would send every tiny test compile over the
-# network. Set MEMO_TPU_TEST_REAL_DEVICE=1 to opt in to the real device.
-if not os.environ.get("MEMO_TPU_TEST_REAL_DEVICE"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
+# network. The env var alone is overridden by the axon plugin, so set the
+# config directly too. Set MEMO_TPU_TEST_REAL_DEVICE=1 to opt in to the real
+# device.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("MEMO_TPU_TEST_REAL_DEVICE"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
