@@ -64,8 +64,22 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
     p.add_argument(
         "-r",
         dest="region",
-        required=True,
+        default=None,
         help="query region (0-indexed, half open '[)' coordinates) chr:start-end",
+    )
+    p.add_argument(
+        "--regions-file",
+        default=None,
+        help="batch mode: file with one region per line; outputs are written "
+        "to <out>.<chr>_<start>_<end>.txt and the batch runs data-parallel "
+        "over all devices (memo_tpu.parallel)",
+    )
+    p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DP,SP",
+        help="device mesh for --regions-file: data-parallel x position-parallel "
+        "sizes (default: all devices on the position axis)",
     )
     p.add_argument("-o", dest="out_file", required=True, help="output file")
     p.add_argument(
@@ -170,7 +184,35 @@ def cmd_query(args) -> int:
     from memo_tpu.query.engine import QueryEngine, parse_region
     from memo_tpu.query.output import write_conservation, write_membership
 
+    if (args.region is None) == (args.regions_file is None):
+        raise SystemExit("exactly one of -r or --regions-file is required")
     store = load_store(args.index, args.num_docs, args.membership)
+
+    if args.regions_file:
+        from memo_tpu.parallel import ShardedQuery, make_mesh
+
+        with open(args.regions_file) as fh:
+            regions = [parse_region(line.strip()) for line in fh if line.strip()]
+        if args.mesh:
+            dp, sp = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(dp=dp, sp=sp)
+        else:
+            mesh = make_mesh()
+        sq = ShardedQuery(store, mesh)
+        with trace_context(args.profile):
+            if args.membership:
+                results = sq.membership(regions, args.k)
+            else:
+                results = sq.conservation(regions, args.k)
+        for (record, qs, qe), res in zip(regions, results):
+            path = f"{args.out_file}.{record}_{qs}_{qe}.txt"
+            if args.membership:
+                write_membership(np.asarray(res), path)
+            else:
+                write_conservation(np.asarray(res), path)
+        log.info("wrote %d region outputs (mesh=%s)", len(regions), dict(mesh.shape))
+        return 0
+
     backend = args.backend or _default_backend()
     engine = QueryEngine(store, backend=backend)
     record, qs, qe = parse_region(args.region)

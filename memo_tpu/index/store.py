@@ -84,6 +84,15 @@ class IntervalStore:
         except ValueError:
             raise KeyError(f"record {name!r} not in index ({self.record_names})") from None
 
+    def query_layout(self) -> "QueryLayout":
+        """Pre-sorted event layout for the fused Pallas query path (computed
+        once, cached). See ops/pallas_query.py for why these orders exist."""
+        lay = getattr(self, "_query_layout", None)
+        if lay is None:
+            lay = QueryLayout.build(self)
+            self._query_layout = lay
+        return lay
+
     def window_bounds(self, record: str, qs: int, qe: int, k: int) -> tuple[int, int]:
         """Row range [lo, hi) guaranteed to contain every interval relevant to
         query window [qs, qe) at k-mer size k.
@@ -151,3 +160,90 @@ class IntervalStore:
                 self.rec_id.nbytes + self.start.nbytes + self.end.nbytes + self.order.nbytes
             ),
         }
+
+@dataclass
+class QueryLayout:
+    """Pre-sorted event views of an IntervalStore for the fused query kernel.
+
+    Query-time shadow casting (st = start − qs, ce = end − qs − (k−1),
+    reference memo_query.py:46-47) is rank-preserving in ``start`` and
+    ``end``, so sorting once here means NO per-query sort:
+
+    - ``end order`` (record-major): the +1 event stream of every query.
+      The store's native (record, start) order is already the −1 stream.
+    - ``column segments``: rows regrouped by (record, order) and sorted by
+      start — used to count out-of-window intervals (the query's coverage
+      at window position 0) with two searchsorteds per column. That count
+      formula needs starts AND ends jointly nondecreasing per column, which
+      holds for true matching statistics (MS drops by ≤1 per position, so
+      MEM ends are nondecreasing — and so are consecutive-overlap ends);
+      ``monotone`` records whether this store satisfies it, else
+      prefix_counts falls back to a vectorized scan.
+    """
+
+    end_sorted: np.ndarray  # int64[M] ends, sorted within each record
+    start_by_end: np.ndarray  # int64[M] partner starts, aligned to end_sorted
+    order_by_end: np.ndarray  # int32[M]
+    s_by_col: np.ndarray  # int64[M] starts, grouped by (record, order)
+    e_by_col: np.ndarray  # int64[M] partner ends
+    col_offsets: np.ndarray  # int64[R*C + 1] flattened (record, order) segments
+    monotone: bool
+
+    @classmethod
+    def build(cls, store: "IntervalStore") -> "QueryLayout":
+        C = store.n_docs
+        rec = store.rec_id.astype(np.int64)
+        perm_e = np.lexsort((store.end, rec))
+        in_range = bool(np.all((store.order >= 0) & (store.order < C))) if store.num_intervals else True
+
+        if in_range:
+            key = rec * C + store.order
+            perm_c = np.lexsort((store.start, key))
+            s_by_col = store.start[perm_c]
+            e_by_col = store.end[perm_c]
+            counts = np.bincount(key, minlength=store.num_records * C)
+            col_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            # Joint monotonicity of ends within each (record, order) segment
+            # (starts are sorted by construction).
+            nondec = np.ones(store.num_intervals, bool)
+            if store.num_intervals > 1:
+                nondec[1:] = e_by_col[1:] >= e_by_col[:-1]
+                nondec[col_offsets[1:-1]] = True  # segment starts exempt
+            monotone = bool(nondec.all())
+        else:  # foreign index with out-of-range orders: scan fallback only
+            s_by_col = np.zeros(0, np.int64)
+            e_by_col = np.zeros(0, np.int64)
+            col_offsets = np.zeros(store.num_records * C + 1, np.int64)
+            monotone = False
+
+        return cls(
+            end_sorted=store.end[perm_e],
+            start_by_end=store.start[perm_e],
+            order_by_end=store.order[perm_e],
+            s_by_col=s_by_col,
+            e_by_col=e_by_col,
+            col_offsets=col_offsets,
+            monotone=monotone,
+        )
+
+    def prefix_counts(self, store: "IntervalStore", r: int, qs: int, k: int) -> np.ndarray:
+        """int64[C] per-column count of intervals marking window position 0:
+        ``#{i in record r, order c: end_i <= qs+k-1 < ... and start_i > qs}``
+        — the coverage carried into the window from its left (see
+        ops/pallas_query.py docstring, observation 2)."""
+        C = store.n_docs
+        E0 = qs + k - 1
+        out = np.zeros(C, np.int64)
+        if self.monotone:
+            base = r * C
+            for c in range(1, C):
+                lo, hi = self.col_offsets[base + c], self.col_offsets[base + c + 1]
+                pe = np.searchsorted(self.e_by_col[lo:hi], E0, side="right")
+                ps = np.searchsorted(self.s_by_col[lo:hi], qs, side="right")
+                out[c] = max(0, pe - ps)
+            return out
+        lo, hi = store.rec_offsets[r], store.rec_offsets[r + 1]
+        mask = (store.end[lo:hi] <= E0) & (store.start[lo:hi] > qs)
+        o = store.order[lo:hi][mask]
+        o = o[(o >= 0) & (o < C)]
+        return np.bincount(o, minlength=C)[:C].astype(np.int64)

@@ -1,27 +1,42 @@
-"""Fused Pallas TPU kernel for the MEMO coverage scan.
+"""Fused Pallas TPU kernel for the MEMO query.
 
-The query's hot transform is "N interval diff-events -> dense per-position
-coverage" (see ops/query_ops.py). XLA lowers the scatter-add to a serialized
-scatter loop on TPU; this kernel replaces it with a single sequential-grid
-pass that is MXU/VPU friendly:
+The query's hot transform is "interval set -> per-position absence marks ->
+conservation/membership" (reference memo_query.py:42-71). The dense XLA
+formulation (ops/query_ops.py) pays for a serialized scatter; the first
+Pallas version paid for a per-query argsort of the event set. This kernel
+eliminates both with three observations:
 
-1. (host/XLA side) each valid interval becomes two events
-   (+1 at casted_end, -1 at start) tagged with its column; events are sorted
-   by position once per window (O(M log M) on device).
-2. The kernel walks position tiles in grid order, DMA-streaming each tile's
-   event slice HBM->VMEM in fixed-size chunks. A chunk's contribution to the
-   tile is computed as ONE-HOT MATMULS on the MXU:
+1. **Shadow casting preserves order.** The query-time transforms are
+   ``st = start - qs`` and ``ce = end - qs - (k-1)`` — rank-preserving in
+   ``start`` and ``end`` respectively. So the interval store pre-sorts its
+   rows once by start AND (via a permutation) by end, and every (qs, k)
+   query reads two already-sorted event streams: −1 events at ``st`` in
+   start order, +1 events at ``ce`` in end order. No per-query sort.
 
-       A[T, E] = (tile_position >= event_position)      # step functions
-       B[E, C] = delta * onehot(event_column)
-       contribution = A @ B                             # (T, C) coverage
+2. **Out-of-window events are a prefix count.** Coverage at window position
+   p is ``#{valid i: ce_i <= p} − #{valid i: st_i <= p}``. Events left of
+   the window contribute the constant ``prefix[c] = #{i: ce_i <= 0 < st_i}``
+   (validity is implied), which the host computes with a handful of
+   searchsorteds (store.QueryLayout). Events right of the window contribute
+   nothing. The kernel therefore touches ONLY in-window events.
 
-   so the ragged scatter becomes dense matrix work.
-3. Running coverage carries across tiles through a VMEM scratch that is
-   simply the previous tile's last row (coverage is a prefix sum over
-   events, and every event of a tile affects its last position).
+3. **The ragged scan is dense matrix work.** Each grid step owns a TILE of
+   positions; its event slice (found by searchsorted of tile boundaries into
+   the sorted streams) is DMA'd HBM->VMEM in (8, 512) blocks and folded in
+   as one-hot matmuls on the MXU:
 
-Counts are exact in f32 (deltas are ±1, coverage < 2^24).
+       A[T, E] = (tile_position >= event_position)   # step functions
+       B[C, E] = delta * onehot(event_column)
+       coverage += A @ B.T                            # bf16 in, f32 acc
+
+   Running coverage carries across tiles through a VMEM scratch (the
+   previous tile's last row). Rows of a block with no in-range events are
+   skipped with pl.when. bf16 operands are exact here: entries are 0/±1.
+
+The reduction to output happens in-kernel (coverage never round-trips to
+HBM): conservation = min(first marked column, n) per position
+(== reference argmax-with-sentinel, memo_query.py:70), membership =
+NOT marked as int8 (memo_query.py:67-68).
 """
 
 from __future__ import annotations
@@ -33,153 +48,227 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from memo_tpu.ops.query_ops import cast_and_clip
-
 TILE = 256  # positions per grid step
-EVENT_LANES = 512  # events per HBM row
-EVENT_ROWS = 8  # rows per DMA block — sublane tiling requires 8-aligned slices
-EVENT_CHUNK = EVENT_ROWS * EVENT_LANES  # events DMA'd per inner-loop step
+EV_LANES = 512  # events per HBM row
+EV_ROWS = 8  # rows per DMA block — sublane tiling requires 8-aligned slices
+EV_CHUNK = EV_ROWS * EV_LANES  # events per DMA
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _coverage_kernel(off_ref, pos_hbm, val_hbm, out_ref, pos_buf, val_buf, sem, carry):
-    t = pl.program_id(0)
-    T, C = out_ref.shape
-    base = t * T
+def _make_kernel(n_docs: int, membership: bool):
+    def kernel(
+        offm_ref,  # (nt+1,) scalar prefetch: minus-stream event offsets per tile
+        offp_ref,  # (nt+1,) scalar prefetch: plus-stream event offsets per tile
+        pos_m,  # HBM (rows, EV_LANES) int32: minus event positions (sorted)
+        val_m,  # HBM (rows, EV_LANES) int32: column+1, 0 = inert
+        pos_p,  # HBM: plus event positions (sorted)
+        val_p,
+        prefix_ref,  # VMEM (1, C_pad) int32: coverage entering position 0
+        out_ref,  # (TILE, 1) int32 conservation | (TILE, C_pad) int8 membership
+        pos_buf,  # VMEM (EV_ROWS, EV_LANES) int32 scratch
+        val_buf,
+        sem,  # DMA semaphores (2,)
+        cov_ref,  # VMEM (TILE, C_pad) f32: coverage accumulator
+        carry,  # VMEM (1, C_pad) f32: running coverage across tiles
+    ):
+        t = pl.program_id(0)
+        T, C = cov_ref.shape
+        base = t * T
 
-    @pl.when(t == 0)
-    def _():
-        carry[...] = jnp.zeros_like(carry)
+        @pl.when(t == 0)
+        def _():
+            carry[...] = prefix_ref[...].astype(jnp.float32)
 
-    # Start the tile at the running coverage from all previous tiles.
-    out_ref[...] = jnp.broadcast_to(carry[0:1, :], (T, C)).astype(jnp.float32)
+        cov_ref[...] = jnp.broadcast_to(carry[0:1, :], (T, C))
 
-    lo = off_ref[t]
-    hi = off_ref[t + 1]
-    # Events live in [rows, EVENT_LANES] HBM arrays; DMA 8-row blocks (the
-    # sublane tile — arbitrary row offsets are not sliceable) and mask each
-    # block's flat event range to this tile's [lo, hi).
-    blk_lo = lo // EVENT_CHUNK
-    n_chunks = pl.cdiv(hi, EVENT_CHUNK) - blk_lo
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, EV_LANES), 1)
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EV_LANES), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, EV_LANES), 0)
 
-    def chunk_body(i, _):
-        row0 = pl.multiple_of((blk_lo + i) * EVENT_ROWS, EVENT_ROWS)
-        cp_p = pltpu.make_async_copy(
-            pos_hbm.at[pl.ds(row0, EVENT_ROWS), :], pos_buf, sem.at[0]
-        )
-        cp_v = pltpu.make_async_copy(
-            val_hbm.at[pl.ds(row0, EVENT_ROWS), :], val_buf, sem.at[1]
-        )
-        cp_p.start()
-        cp_v.start()
-        cp_p.wait()
-        cp_v.wait()
+        for sign, off_ref, pos_hbm, val_hbm in (
+            (-1.0, offm_ref, pos_m, val_m),
+            (1.0, offp_ref, pos_p, val_p),
+        ):
+            lo = off_ref[t]
+            hi = off_ref[t + 1]
+            blk_lo = lo // EV_CHUNK
+            # hi==lo must yield 0 chunks: with pad-free event arrays a dummy
+            # chunk at lo==n_events would DMA past the last row.
+            n_chunks = jnp.where(hi > lo, pl.cdiv(hi, EV_CHUNK) - blk_lo, 0)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, EVENT_LANES), 1)
-        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EVENT_LANES), 0)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, EVENT_LANES), 0)
-        contrib = jnp.zeros((T, C), jnp.float32)
-        for j in range(EVENT_ROWS):
-            e_idx = (row0 + j) * EVENT_LANES + lane
-            in_tile = (e_idx >= lo) & (e_idx < hi)  # mask overread into other tiles
-            p_local = pos_buf[j : j + 1, :] - base  # (1, E)
-            v = val_buf[j : j + 1, :]
-            delta = jnp.where(in_tile, jnp.sign(v), 0).astype(jnp.float32)  # (1, E)
-            col = jnp.abs(v) - 1  # (1, E); invalid events have v=0 -> col=-1
+            def chunk_body(i, _, lo=lo, hi=hi, blk_lo=blk_lo, sign=sign,
+                           pos_hbm=pos_hbm, val_hbm=val_hbm):
+                row0 = pl.multiple_of((blk_lo + i) * EV_ROWS, EV_ROWS)
+                cp_p = pltpu.make_async_copy(
+                    pos_hbm.at[pl.ds(row0, EV_ROWS), :], pos_buf, sem.at[0]
+                )
+                cp_v = pltpu.make_async_copy(
+                    val_hbm.at[pl.ds(row0, EV_ROWS), :], val_buf, sem.at[1]
+                )
+                cp_p.start()
+                cp_v.start()
+                cp_p.wait()
+                cp_v.wait()
 
-            # A_T[p, e] = 1 iff event e is at or before tile position p.
-            a_t = (pos_iota >= p_local).astype(jnp.float32)  # (T, E)
-            # B_T[c, e] = delta_e iff event e targets column c.
-            b_t = jnp.where(col_iota == col, delta, 0.0)  # (C, E)
+                for j in range(EV_ROWS):
+                    row_first = (row0 + j) * EV_LANES
 
-            contrib = contrib + jax.lax.dot_general(
-                a_t,
-                b_t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (T, C)
-        out_ref[...] = out_ref[...] + contrib
-        return 0
+                    @pl.when((row_first < hi) & (row_first + EV_LANES > lo))
+                    def _(j=j, row_first=row_first):
+                        e_idx = row_first + lane
+                        in_range = (e_idx >= lo) & (e_idx < hi)
+                        p_local = pos_buf[j : j + 1, :] - base  # (1, E)
+                        v = val_buf[j : j + 1, :]
+                        live = in_range & (v > 0)
+                        # Build 0/±1 operands in f32 and downcast: Mosaic
+                        # cannot relayout i1 masks straight into bf16 tiles.
+                        delta = jnp.where(live, sign, 0.0)  # (1, E) f32
+                        col = v - 1
+                        # A[p, e] = 1 iff event e at or before tile position p.
+                        a = jnp.where(pos_iota >= p_local, 1.0, 0.0).astype(
+                            jnp.bfloat16
+                        )  # (T, E)
+                        b = jnp.where(col_iota == col, delta, 0.0).astype(
+                            jnp.bfloat16
+                        )  # (C, E)
+                        cov_ref[...] = cov_ref[...] + jax.lax.dot_general(
+                            a,
+                            b,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                return 0
 
-    # Every event of this tile affects its last position, so the last row IS
-    # the running coverage entering the next tile.
-    carry[...] = out_ref[T - 1 : T, :]
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        # Every event of this tile affects its last position: the last row IS
+        # the running coverage entering the next tile.
+        carry[...] = cov_ref[T - 1 : T, :]
+
+        marked = cov_ref[...] > 0.5
+        if membership:
+            out_ref[...] = jnp.where(marked, 0, 1).astype(jnp.int8)
+        else:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+            vals = jnp.where(marked, cols, jnp.int32(n_docs))
+            out_ref[...] = jnp.min(vals, axis=1, keepdims=True)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("L", "C", "interpret"))
-def coverage_marks_pallas(starts, ends, orders, qs, k, *, L: int, C: int, interpret: bool = False):
-    """bool[L, C] absence marks — drop-in for query_ops.coverage_marks."""
-    st, ce, valid = cast_and_clip(starts, ends, qs, L, k)
-    order = orders.astype(jnp.int32)
-    ok = valid & (order >= 0) & (order < C)
+def _to_event_rows(pos, val, l_pad: int):
+    """Pad 1-D event arrays to [rows, EV_LANES] with inert tail events."""
+    n = pos.shape[0]
+    rows = _round_up(max(n, 1), EV_CHUNK) // EV_LANES
+    pad = rows * EV_LANES - n
+    pos = jnp.concatenate([pos, jnp.full((pad,), l_pad, jnp.int32)]).reshape(
+        rows, EV_LANES
+    )
+    val = jnp.concatenate([val, jnp.zeros((pad,), jnp.int32)]).reshape(rows, EV_LANES)
+    return pos, val
 
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "L", "C", "n_docs", "membership", "interpret")
+)
+def memo_query_pallas(
+    d_start,  # device store, start order: start / end / order (int32, padded)
+    d_end,
+    d_order,
+    d_end_s,  # device store, end order: end / start / order (int32, padded)
+    d_start_by_end,
+    d_order_by_end,
+    prefix,  # (1, C_pad) int32 coverage entering window position 0
+    mlo,  # minus-stream candidate rows [mlo, mhi): start in (qs, qs+L)
+    mhi,
+    plo,  # plus-stream candidate rows [plo, phi): end in (qs+k-1, qs+L+k-1)
+    phi,
+    qs,
+    k,
+    *,
+    M: int,  # static candidate bucket (>= max stream count)
+    L: int,  # static window length
+    C: int,  # static column count (= n_docs)
+    n_docs: int,
+    membership: bool,
+    interpret: bool = False,
+):
+    """One query window, fused: returns int32[L] conservation values or
+    int8[L, C] membership. Candidate ranges and prefix come from the host
+    (IntervalStore.query_layout); see module docstring for the math."""
     L_pad = _round_up(max(L, 1), TILE)
     C_pad = _round_up(max(C, 1), 128)
     nt = L_pad // TILE
+    idx = jnp.arange(M, dtype=jnp.int32)
 
-    # Events: +1 at ce, -1 at st; column encoded in |val|-1, delta in sign.
-    big = jnp.int32(L_pad)
-    pos = jnp.concatenate(
-        [
-            jnp.where(ok, ce.astype(jnp.int32), big),
-            jnp.where(ok, st.astype(jnp.int32), big),
-        ]
-    )
-    val = jnp.concatenate(
-        [
-            jnp.where(ok, order + 1, 0),
-            jnp.where(ok, -(order + 1), 0),
-        ]
-    )
-    sort_idx = jnp.argsort(pos)
-    pos_s = pos[sort_idx]
-    val_s = val[sort_idx]
+    # Minus stream: −1 at st = start − qs, start order. In-range rows have
+    # st in (0, L); masked tail rows park at L_pad (keeps the array sorted).
+    s = jax.lax.dynamic_slice(d_start, (mlo,), (M,))
+    e_al = jax.lax.dynamic_slice(d_end, (mlo,), (M,))
+    o = jax.lax.dynamic_slice(d_order, (mlo,), (M,))
+    live = idx < (mhi - mlo)
+    pos_m = jnp.where(live, s - qs, jnp.int32(L_pad))
+    ok = live & (e_al - s < k - 1) & (o >= 0) & (o < C)
+    val_m = jnp.where(ok, o + 1, 0)
+
+    # Plus stream: +1 at ce = end − qs − (k−1), end order.
+    e2 = jax.lax.dynamic_slice(d_end_s, (plo,), (M,))
+    s2 = jax.lax.dynamic_slice(d_start_by_end, (plo,), (M,))
+    o2 = jax.lax.dynamic_slice(d_order_by_end, (plo,), (M,))
+    live2 = idx < (phi - plo)
+    pos_p = jnp.where(live2, e2 - qs - (k - 1), jnp.int32(L_pad))
+    ok2 = live2 & (e2 - s2 < k - 1) & (o2 >= 0) & (o2 < C)
+    val_p = jnp.where(ok2, o2 + 1, 0)
+
     boundaries = jnp.arange(nt + 1, dtype=jnp.int32) * TILE
-    offsets = jnp.searchsorted(pos_s, boundaries, side="left").astype(jnp.int32)
-    # Reshape events to [rows, EVENT_LANES] (rows padded to the 8-row sublane
-    # tile) so the kernel DMAs whole aligned blocks; the tail is padded with
-    # inert events (pos=big, val=0).
-    n_events = pos_s.shape[0]
-    n_rows = _round_up(n_events, EVENT_CHUNK) // EVENT_LANES
-    pad = n_rows * EVENT_LANES - n_events
-    pos_s = jnp.concatenate([pos_s, jnp.full((pad,), big, jnp.int32)]).reshape(
-        n_rows, EVENT_LANES
-    )
-    val_s = jnp.concatenate([val_s, jnp.zeros((pad,), jnp.int32)]).reshape(
-        n_rows, EVENT_LANES
-    )
+    offm = jnp.searchsorted(pos_m, boundaries, side="left").astype(jnp.int32)
+    offp = jnp.searchsorted(pos_p, boundaries, side="left").astype(jnp.int32)
+    pos_m, val_m = _to_event_rows(pos_m, val_m, L_pad)
+    pos_p, val_p = _to_event_rows(pos_p, val_p, L_pad)
+
+    if membership:
+        out_shape = jax.ShapeDtypeStruct((L_pad, C_pad), jnp.int8)
+        out_specs = pl.BlockSpec((TILE, C_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((L_pad, 1), jnp.int32)
+        out_specs = pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            # Events stay in HBM and are DMA'd row-by-row: arbitrary-row
-            # slicing of a VMEM-resident ref violates sublane tiling.
+            # Event streams stay in HBM; the kernel DMAs aligned 8-row blocks.
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, C_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, C_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((EVENT_ROWS, EVENT_LANES), jnp.int32),
-            pltpu.VMEM((EVENT_ROWS, EVENT_LANES), jnp.int32),
+            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),
+            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TILE, C_pad), jnp.float32),
             pltpu.VMEM((1, C_pad), jnp.float32),
         ],
     )
-    cov = pl.pallas_call(
-        _coverage_kernel,
-        out_shape=jax.ShapeDtypeStruct((L_pad, C_pad), jnp.float32),
+    n_rows = pos_m.shape[0] + pos_p.shape[0]
+    out = pl.pallas_call(
+        _make_kernel(n_docs, membership),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nt * TILE * C_pad * EVENT_CHUNK,
-            bytes_accessed=L_pad * C_pad * 4 + pos_s.size * 8,
+            flops=2 * (nt + n_rows // EV_ROWS) * TILE * C_pad * EV_CHUNK,
+            bytes_accessed=n_rows * EV_LANES * 8 + L_pad * (C_pad if membership else 4),
             transcendentals=0,
         ),
-    )(offsets, pos_s, val_s)
-    return cov[:L, :C] > 0.5
+    )(offm, offp, pos_m, val_m, pos_p, val_p, prefix)
+    if membership:
+        return out[:L, :C]
+    return out[:L, 0]

@@ -61,13 +61,18 @@ class QueryEngine:
         backend: str = "jax",
         chunk_positions: int = 1 << 17,
         max_intervals_per_chunk: int = 1 << 22,
+        device_output: bool = False,
     ):
+        """``device_output=True`` keeps results on device (jax arrays, no
+        host transfer) — for pipelines that feed them onward (binning, another
+        kernel) or benchmarks that time device throughput."""
         if store.kind not in ("conservation", "membership"):
             raise ValueError(f"bad store kind {store.kind!r}")
         self.store = store
         self.backend = backend
         self.chunk_positions = int(chunk_positions)
         self.max_intervals = int(max_intervals_per_chunk)
+        self.device_output = bool(device_output) and backend != "numpy"
         self.n_docs = store.n_docs
         self.last_stats = QueryStats()
 
@@ -79,15 +84,28 @@ class QueryEngine:
             # The pad only needs to cover the largest slice bucket, which is
             # bounded by the store size.
             pad = min(self.max_intervals, _next_pow2(max(store.num_intervals, 1)))
-            self._d_start = jnp.asarray(
-                np.concatenate([store.start, np.zeros(pad, np.int64)]).astype(np.int32)
-            )
-            self._d_end = jnp.asarray(
-                np.concatenate([store.end, np.zeros(pad, np.int64)]).astype(np.int32)
-            )
-            self._d_order = jnp.asarray(
-                np.concatenate([store.order, np.full(pad, -1, np.int32)]).astype(np.int32)
-            )
+
+            def dev(a, fill):
+                return jnp.asarray(
+                    np.concatenate([a, np.full(pad, fill, a.dtype)]).astype(np.int32)
+                )
+
+            self._d_start = dev(store.start, 0)
+            self._d_end = dev(store.end, 0)
+            self._d_order = dev(store.order, -1)
+            if backend == "pallas":
+                # Pre-sorted event streams for the fused kernel (no per-query
+                # sort — see ops/pallas_query.py).
+                lay = store.query_layout()
+                self._layout = lay
+                self._d_end_s = dev(lay.end_sorted, 0)
+                self._d_start_by_end = dev(lay.start_by_end, 0)
+                self._d_order_by_end = dev(lay.order_by_end, -1)
+                import jax
+
+                # Mosaic only compiles on TPU; elsewhere run interpreted
+                # (useful for hermetic kernel tests on the CPU mesh).
+                self._interpret = jax.default_backend() != "tpu"
         elif backend != "numpy":
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -119,6 +137,12 @@ class QueryEngine:
             outputs.append(self._query_chunk(record, c_qs, c_qe, k, membership, stats))
             stats.chunks += 1
         self.last_stats = stats
+        if self.device_output:
+            import jax.numpy as jnp
+
+            if not outputs:
+                return jnp.zeros((0, n), jnp.int8) if membership else jnp.zeros(0, jnp.int32)
+            return jnp.concatenate(outputs, axis=0) if len(outputs) > 1 else outputs[0]
         if membership:
             return (
                 np.concatenate(outputs, axis=0)
@@ -127,9 +151,18 @@ class QueryEngine:
             )
         return np.concatenate(outputs) if outputs else np.zeros(0, np.int64)
 
+    def _cat(self, left, right):
+        if self.device_output:
+            import jax.numpy as jnp
+
+            return jnp.concatenate([left, right], axis=0)
+        return np.concatenate([left, right], axis=0)
+
     def _query_chunk(
         self, record: str, qs: int, qe: int, k: int, membership: bool, stats: QueryStats
     ) -> np.ndarray:
+        if self.backend == "pallas":
+            return self._query_chunk_pallas(record, qs, qe, k, membership, stats)
         lo, hi = self.store.window_bounds(record, qs, qe, k)
         count = hi - lo
         stats.candidate_intervals += count
@@ -145,7 +178,7 @@ class QueryEngine:
             marks = Q.coverage_marks_np(s, e, o, qs, k, L, n)
             return Q.membership_np(marks) if membership else Q.conservation_np(marks, n)
 
-        # jax / pallas path: pad candidate count to a bucket for jit reuse.
+        # jax path: pad candidate count to a bucket for jit reuse.
         M = min(_next_pow2(max(count, 1)), self.max_intervals)
         if count > M:
             # More candidates than the bucket cap: fall back to smaller
@@ -155,13 +188,13 @@ class QueryEngine:
                 raise RuntimeError("interval bucket overflow on a single position")
             left = self._query_chunk(record, qs, mid, k, membership, stats)
             right = self._query_chunk(record, mid, qe, k, membership, stats)
-            return np.concatenate([left, right], axis=0)
+            return self._cat(left, right)
 
         r = self.store.record_index(record)
         rec_end = int(self.store.rec_offsets[r + 1])
         import jax.numpy as jnp
 
-        run = _device_query_fn(M, L, self.n_docs, membership, self.backend == "pallas")
+        run = _device_query_fn(M, L, self.n_docs, membership, False)
         out = run(
             self._d_start,
             self._d_end,
@@ -171,11 +204,70 @@ class QueryEngine:
             jnp.int32(qs),
             jnp.int32(k),
         )
-        return np.asarray(out)
+        return out if self.device_output else np.asarray(out)
+
+    def _query_chunk_pallas(
+        self, record: str, qs: int, qe: int, k: int, membership: bool, stats: QueryStats
+    ) -> np.ndarray:
+        """Fused-kernel chunk: exact in-window event ranges from the two
+        pre-sorted streams + host prefix counts (ops/pallas_query.py)."""
+        import jax.numpy as jnp
+
+        from memo_tpu.ops.pallas_query import memo_query_pallas
+
+        st = self.store
+        lay = self._layout
+        L = qe - qs
+        n = self.n_docs
+        r = st.record_index(record)
+        rec_lo, rec_hi = int(st.rec_offsets[r]), int(st.rec_offsets[r + 1])
+        seg_s = st.start[rec_lo:rec_hi]
+        seg_e = lay.end_sorted[rec_lo:rec_hi]
+        mlo = rec_lo + int(np.searchsorted(seg_s, qs, side="right"))
+        mhi = rec_lo + int(np.searchsorted(seg_s, qs + L, side="left"))
+        plo = rec_lo + int(np.searchsorted(seg_e, qs + k - 1, side="right"))
+        phi = rec_lo + int(np.searchsorted(seg_e, qs + L + k - 1, side="left"))
+        count = max(mhi - mlo, phi - plo)
+        stats.candidate_intervals += count
+
+        M = min(_next_pow2(max(count, 1)), self.max_intervals)
+        if count > M:
+            mid = (qs + qe) // 2
+            if mid == qs:
+                raise RuntimeError("interval bucket overflow on a single position")
+            left = self._query_chunk_pallas(record, qs, mid, k, membership, stats)
+            right = self._query_chunk_pallas(record, mid, qe, k, membership, stats)
+            return self._cat(left, right)
+
+        C_pad = max((n + 127) // 128 * 128, 128)
+        prefix = np.zeros((1, C_pad), np.int32)
+        prefix[0, :n] = lay.prefix_counts(st, r, qs, k)
+        out = memo_query_pallas(
+            self._d_start,
+            self._d_end,
+            self._d_order,
+            self._d_end_s,
+            self._d_start_by_end,
+            self._d_order_by_end,
+            jnp.asarray(prefix),
+            jnp.int32(mlo),
+            jnp.int32(mhi),
+            jnp.int32(plo),
+            jnp.int32(phi),
+            jnp.int32(qs),
+            jnp.int32(k),
+            M=M,
+            L=L,
+            C=n,
+            n_docs=n,
+            membership=membership,
+            interpret=self._interpret,
+        )
+        return out if self.device_output else np.asarray(out)
 
 
 @functools.lru_cache(maxsize=256)
-def _device_query_fn(M: int, L: int, n: int, membership: bool, use_pallas: bool):
+def _device_query_fn(M: int, L: int, n: int, membership: bool, use_pallas: bool = False):
     """One compiled device program per (bucket, window, mode) shape."""
     import jax
     import jax.numpy as jnp
@@ -193,12 +285,7 @@ def _device_query_fn(M: int, L: int, n: int, membership: bool, use_pallas: bool)
         # empty and are harmless — see query_ops).
         idx = lo + jnp.arange(M, dtype=jnp.int32)
         o = jnp.where(idx < rec_end, o, -1)
-        if use_pallas:
-            from memo_tpu.ops.pallas_query import coverage_marks_pallas
-
-            marks = coverage_marks_pallas(s, e, o, qs, k, L=L, C=n)
-        else:
-            marks = Q.coverage_marks(s, e, o, qs, k, L=L, C=n)
+        marks = Q.coverage_marks(s, e, o, qs, k, L=L, C=n)
         if membership:
             return Q.membership_from_marks(marks)
         return Q.conservation_from_marks(marks, n)

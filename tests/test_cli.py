@@ -146,3 +146,42 @@ def test_ms_cache_resume(built_index, example_dir_module, tmp_path, caplog):
     assert (built_index / "test2.npz").exists()
     caches = list(built_index.glob("ms-*.npz"))
     assert len(caches) == 4  # one per non-pivot document
+
+
+def test_query_regions_file_batch(built_index, tmp_path):
+    """--regions-file runs the mesh-parallel batch path and matches -r."""
+    regions = tmp_path / "regions.txt"
+    regions.write_text("piv_1:0-40\npiv_1:10-30\n")
+    prefix = tmp_path / "batch"
+    rc = main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "--regions-file", str(regions),
+            "--mesh", "2,4",
+            "-o", str(prefix),
+        ]
+    )
+    assert rc == 0
+    single = tmp_path / "single.txt"
+    main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "-r", "piv_1:0-40",
+            "-o", str(single),
+            "--backend", "numpy",
+        ]
+    )
+    got = (tmp_path / "batch.piv_1_0_40.txt").read_text()
+    assert got == single.read_text()
+    assert (tmp_path / "batch.piv_1_10_30.txt").exists()
+
+
+def test_query_requires_region_xor_regions_file(built_index, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["query", "-b", str(built_index / "test.npz"), "-o", str(tmp_path / "x")])

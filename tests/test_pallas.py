@@ -1,0 +1,97 @@
+"""Fused Pallas query kernel == numpy oracle, bit-exact.
+
+Runs the kernel in interpret mode on CPU (Mosaic compilation is exercised on
+the real chip by bench.py and the real-TPU verify drive)."""
+
+import numpy as np
+import pytest
+
+from memo_tpu.index.builder import store_from_ms
+from memo_tpu.query.engine import QueryEngine
+
+
+def _lipschitz(ms: np.ndarray) -> np.ndarray:
+    """Make random MS columns satisfy ms[p] <= ms[p+1] + 1 — a match starting
+    at p implies one of length-1 shorter at p+1, so true matching statistics
+    never drop by more than 1. out[p] = min_{q>=p} (ms[q] + q) - p."""
+    P = ms.shape[0]
+    key = ms.astype(np.int64) + np.arange(P)[:, None]
+    suffix_min = np.minimum.accumulate(key[::-1])[::-1]
+    return (suffix_min - np.arange(P)[:, None]).astype(np.int32)
+
+
+def _store(rng, lipschitz, kind="conservation", n_records=2, n_docs=6, rec_len=700):
+    ms = [
+        rng.integers(0, 50, size=(rec_len, n_docs - 1)).astype(np.int32)
+        for _ in range(n_records)
+    ]
+    if lipschitz:
+        ms = [_lipschitz(m) for m in ms]
+    names = [f"chr{i}" for i in range(n_records)]
+    return store_from_ms(ms, names, [rec_len] * n_records, n_docs, kind)
+
+
+@pytest.fixture(scope="module", params=[True, False], ids=["monotone", "random"])
+def stores(request):
+    rng = np.random.default_rng(3)
+    return _store(rng, request.param), request.param
+
+
+WINDOWS = [("chr0", 0, 700), ("chr0", 123, 456), ("chr1", 600, 700), ("chr1", 0, 1)]
+
+
+def test_query_layout_monotone_flag(stores):
+    store, lipschitz = stores
+    lay = store.query_layout()
+    if lipschitz:
+        # True-MS stores must take the fast searchsorted prefix path.
+        assert lay.monotone
+
+
+def test_prefix_counts_match_bruteforce(stores):
+    store, _ = stores
+    lay = store.query_layout()
+    for r in range(store.num_records):
+        lo, hi = store.rec_offsets[r], store.rec_offsets[r + 1]
+        s, e, o = store.start[lo:hi], store.end[lo:hi], store.order[lo:hi]
+        for qs, k in [(0, 3), (100, 31), (350, 1), (699, 101)]:
+            want = np.zeros(store.n_docs, np.int64)
+            m = (e <= qs + k - 1) & (s > qs)
+            for c in o[m]:
+                want[c] += 1
+            got = lay.prefix_counts(store, r, qs, k)
+            np.testing.assert_array_equal(got, want, err_msg=f"r={r} qs={qs} k={k}")
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 31, 101])
+def test_pallas_conservation_matches_numpy(stores, k):
+    store, _ = stores
+    pallas = QueryEngine(store, backend="pallas")
+    oracle = QueryEngine(store, backend="numpy")
+    for rec, qs, qe in WINDOWS:
+        got = pallas.conservation(rec, qs, qe, k)
+        want = oracle.conservation(rec, qs, qe, k)
+        np.testing.assert_array_equal(got, want, err_msg=f"{rec}:{qs}-{qe} k={k}")
+
+
+@pytest.mark.parametrize("k", [3, 31])
+def test_pallas_membership_matches_numpy(k):
+    rng = np.random.default_rng(11)
+    store = _store(rng, lipschitz=True, kind="membership")
+    pallas = QueryEngine(store, backend="pallas")
+    oracle = QueryEngine(store, backend="numpy")
+    for rec, qs, qe in WINDOWS:
+        got = pallas.membership(rec, qs, qe, k)
+        want = oracle.membership(rec, qs, qe, k)
+        np.testing.assert_array_equal(got, want, err_msg=f"{rec}:{qs}-{qe} k={k}")
+
+
+def test_pallas_chunked_equals_unchunked():
+    rng = np.random.default_rng(5)
+    store = _store(rng, lipschitz=True)
+    small = QueryEngine(store, backend="pallas", chunk_positions=128)
+    big = QueryEngine(store, backend="pallas")
+    np.testing.assert_array_equal(
+        small.conservation("chr0", 0, 700, 31), big.conservation("chr0", 0, 700, 31)
+    )
+    assert small.last_stats.chunks > 1
