@@ -51,6 +51,40 @@ def build_store(rng):
     return store_from_ms([ms], ["chr1"], [PIVOT_LEN], N_DOCS, "conservation")
 
 
+def bench_index_build(rng) -> dict:
+    """Index-side throughput: C++ matching statistics (the MONI replacement,
+    reference index.sh:69-76) + MEM-overlap extraction on a synthetic 2 Mbp
+    document/pivot pair."""
+    from memo_tpu.index.intervals import mem_overlap_intervals
+    from memo_tpu.index.ms import MatchingStatisticsIndex
+
+    n = 1 << 21
+    doc = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n)) + b"$"
+    pivot = bytearray(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+    # splice shared segments so MS has genome-like long matches
+    for _ in range(200):
+        src = int(rng.integers(0, n - 5000))
+        dst = int(rng.integers(0, n - 5000))
+        pivot[dst : dst + 5000] = doc[src : src + 5000]
+    pivot = bytes(pivot)
+
+    t0 = time.perf_counter()
+    idx = MatchingStatisticsIndex(doc, backend="auto")
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ms = idx.query(pivot)
+    query_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mem_overlap_intervals(ms.reshape(-1, 1), n)
+    intervals_s = time.perf_counter() - t0
+    return {
+        "ms_backend": idx.backend,
+        "ms_build_mbp_s": round(n / build_s / 1e6, 2),
+        "ms_query_mbp_s": round(n / query_s / 1e6, 2),
+        "interval_extract_mbp_s": round(n / intervals_s / 1e6, 2),
+    }
+
+
 def reference_query_np(store, qs: int, qe: int, k: int) -> np.ndarray:
     """The reference query path (memo_query.py:42-71) on this window:
     recenter/shadow-cast/clip, per-interval slice writes, argmax."""
@@ -101,6 +135,19 @@ def main() -> int:
     dt = time.perf_counter() - t0
     mbp_s = REPS * PIVOT_LEN / dt / 1e6
 
+    # k sweep on the SAME device-resident index — k is a traced scalar, so
+    # arbitrary k reuses the compiled program (MEMO's core selling point,
+    # reference README.md:1-5, preserved with zero re-indexing OR recompiling).
+    k_sweep = {}
+    for k in (21, 31, 51, 101):
+        jax.block_until_ready(
+            [engine.conservation("chr1", qs, qe, k) for qs, qe in windows]
+        )
+        t0 = time.perf_counter()
+        outs = [engine.conservation("chr1", qs, qe, k) for qs, qe in windows]
+        jax.block_until_ready(outs)
+        k_sweep[f"k{k}"] = round(PIVOT_LEN / (time.perf_counter() - t0) / 1e6, 1)
+
     # Reference baseline on the same windows (one rep; it is slow).
     t0 = time.perf_counter()
     ref_out = [reference_query_np(store, qs, qe, K) for qs, qe in windows]
@@ -130,6 +177,8 @@ def main() -> int:
                     "backend": backend,
                     "device": jax.devices()[0].platform,
                     "baseline_mbp_s": round(ref_mbp_s, 3),
+                    "k_sweep_mbp_s": k_sweep,
+                    "index_build": bench_index_build(rng),
                 },
             }
         )

@@ -42,6 +42,9 @@ def _add_index(sub: argparse._SubParsersAction) -> None:
         help="also write reference-format artifacts (fai, dap.txt, bed, parquet)",
     )
     p.add_argument("--no-cache", action="store_true", help="disable resumable MS caching")
+    p.add_argument(
+        "--jobs", type=int, default=1, help="parallel per-genome MS builds [1]"
+    )
     p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
 
 
@@ -140,6 +143,7 @@ def cmd_index(args) -> int:
         workdir=None if args.no_cache else args.output_dir,
         emit_compat=args.emit_compat,
         compat_prefix=args.prefix,
+        jobs=args.jobs,
     )
     with trace_context(args.profile):
         store = build_index(args.genome_list, cfg)
@@ -236,7 +240,22 @@ def cmd_view(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """Re-assert JAX_PLATFORMS as jax config: a TPU-plugin sitecustomize that
+    imports jax at interpreter startup can override the env var, silently
+    sending `JAX_PLATFORMS=cpu memo-tpu ...` runs to the TPU."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized — leave it be
+
+
 def main(argv: list[str] | None = None) -> int:
+    _honor_platform_env()
     args = build_parser().parse_args(argv)
     if args.command == "index":
         return cmd_index(args)

@@ -50,6 +50,7 @@ class BuildConfig:
     workdir: str | None = None  # MS cache location (None = no caching)
     emit_compat: bool = False  # also write fai/dap.txt/bed/parquet
     compat_prefix: str | None = None
+    jobs: int = 1  # parallel per-document MS builds (ctypes releases the GIL)
 
 
 def read_genome_list(path: str) -> list[str]:
@@ -115,11 +116,27 @@ def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) ->
     pivot_sha = _file_sha(pivot_path)
 
     # DAP assembly: column j = document j in list order (reference index.sh:83).
+    # Per-document builds are independent (reference index.sh:59-80 runs them
+    # sequentially); the C++ MS engine releases the GIL, so threads scale.
     ms_by_record = [np.zeros((len(r), len(doc_paths)), np.int32) for r in pivot_records]
-    for j, doc_path in enumerate(doc_paths):
-        cols = _ms_for_document(doc_path, pivot_records, pivot_sha, cfg)
-        for i, col in enumerate(cols):
-            ms_by_record[i][:, j] = col
+    if cfg.jobs > 1 and len(doc_paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.jobs) as pool:
+            all_cols = list(
+                pool.map(
+                    lambda p: _ms_for_document(p, pivot_records, pivot_sha, cfg),
+                    doc_paths,
+                )
+            )
+        for j, cols in enumerate(all_cols):
+            for i, col in enumerate(cols):
+                ms_by_record[i][:, j] = col
+    else:
+        for j, doc_path in enumerate(doc_paths):
+            cols = _ms_for_document(doc_path, pivot_records, pivot_sha, cfg)
+            for i, col in enumerate(cols):
+                ms_by_record[i][:, j] = col
 
     store = store_from_ms(
         ms_by_record,

@@ -16,7 +16,8 @@
 // the reference's per-record '$' append (index.sh:65).
 //
 // Complexity: O(|text| * alpha) build, O(|pivot|) amortized per query.
-// Memory: ~2 states/char * (8 + 4*ALPHA_CAP) bytes. This trades memory for
+// Memory: ~2 states/char * (8 + 4*alpha) bytes, alpha = the text's exact
+// alphabet size (6 for ACGTN$ genomes). This trades memory for
 // speed vs MONI's r-index; suitable up to ~hundreds of Mbp of document text
 // per build on a large-RAM host. Builds are per-document and embarrassingly
 // parallel across documents.
@@ -31,18 +32,17 @@
 
 namespace {
 
-constexpr int ALPHA_CAP = 24;  // uppercase IUPAC (16) + '$' + slack
-
 struct Automaton {
   std::vector<int32_t> len;
   std::vector<int32_t> link;
-  std::vector<int32_t> next;  // flat [state][ALPHA_CAP]
+  std::vector<int32_t> next;  // flat [state][acap]
   int16_t code[256];
+  int acap;  // transition stride = exact alphabet size of this text
   int alpha = 0;
   int32_t last = 0;
-  bool overflow = false;  // >ALPHA_CAP distinct symbols in the text
+  bool overflow = false;  // should never trip: acap is pre-counted
 
-  Automaton() {
+  explicit Automaton(int alphabet_cap) : acap(alphabet_cap) {
     for (int i = 0; i < 256; ++i) code[i] = -1;
     new_state();  // init state 0
     len[0] = 0;
@@ -54,17 +54,17 @@ struct Automaton {
   int32_t new_state() {
     len.push_back(0);
     link.push_back(-1);
-    next.resize(next.size() + ALPHA_CAP, -1);
+    next.resize(next.size() + acap, -1);
     return n_states() - 1;
   }
 
-  int32_t tr(int32_t s, int c) const { return next[static_cast<size_t>(s) * ALPHA_CAP + c]; }
-  void set_tr(int32_t s, int c, int32_t v) { next[static_cast<size_t>(s) * ALPHA_CAP + c] = v; }
+  int32_t tr(int32_t s, int c) const { return next[static_cast<size_t>(s) * acap + c]; }
+  void set_tr(int32_t s, int c, int32_t v) { next[static_cast<size_t>(s) * acap + c] = v; }
 
   int code_of(uint8_t b, bool create) {
     int c = code[b];
     if (c < 0 && create) {
-      if (alpha >= ALPHA_CAP) {
+      if (alpha >= acap) {
         overflow = true;
         return -1;
       }
@@ -94,8 +94,8 @@ struct Automaton {
         int32_t clone = new_state();
         len[clone] = len[p] + 1;
         link[clone] = link[q];
-        std::memcpy(&next[static_cast<size_t>(clone) * ALPHA_CAP],
-                    &next[static_cast<size_t>(q) * ALPHA_CAP], ALPHA_CAP * sizeof(int32_t));
+        std::memcpy(&next[static_cast<size_t>(clone) * acap],
+                    &next[static_cast<size_t>(q) * acap], acap * sizeof(int32_t));
         while (p != -1 && tr(p, c) == q) {
           set_tr(p, c, clone);
           p = link[p];
@@ -115,12 +115,22 @@ extern "C" {
 // Build the automaton over reverse(text). Returns nullptr on alphabet
 // overflow or allocation failure.
 void* ms_build(const uint8_t* text, int64_t n) {
-  auto* a = new (std::nothrow) Automaton();
+  // Pre-count the exact alphabet so transition rows are sized to it.
+  bool seen[256] = {false};
+  int acap = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!seen[text[i]]) {
+      seen[text[i]] = true;
+      ++acap;
+    }
+  }
+  if (acap == 0) acap = 1;
+  auto* a = new (std::nothrow) Automaton(acap);
   if (!a) return nullptr;
   try {
     a->len.reserve(2 * n + 4);
     a->link.reserve(2 * n + 4);
-    a->next.reserve((2 * n + 4) * static_cast<size_t>(ALPHA_CAP));
+    a->next.reserve((2 * n + 4) * static_cast<size_t>(acap));
     for (int64_t i = n - 1; i >= 0; --i) {
       a->extend(text[i]);
       if (a->overflow) {

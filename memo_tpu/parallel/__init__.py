@@ -6,3 +6,4 @@ from memo_tpu.parallel.sharded import (  # noqa: F401
     conservation_batch,
     membership_batch,
 )
+from memo_tpu.parallel.distributed import initialize, make_global_mesh  # noqa: F401

@@ -185,3 +185,29 @@ def test_query_requires_region_xor_regions_file(built_index, tmp_path):
 
     with _pytest.raises(SystemExit):
         main(["query", "-b", str(built_index / "test.npz"), "-o", str(tmp_path / "x")])
+
+
+def test_index_parallel_jobs(example_dir_module, tmp_path):
+    """--jobs N builds the same index as serial."""
+    serial = tmp_path / "s"
+    par = tmp_path / "p"
+    for out, jobs in ((serial, "1"), (par, "4")):
+        rc = main(
+            [
+                "index",
+                "-g", str(example_dir_module / "genome_list.txt"),
+                "-o", str(out),
+                "-p", "t",
+                "--ms-backend", "python",
+                "--no-cache",
+                "--jobs", jobs,
+            ]
+        )
+        assert rc == 0
+    from memo_tpu.index.store import IntervalStore
+
+    a = IntervalStore.load(serial / "t.npz")
+    b = IntervalStore.load(par / "t.npz")
+    np.testing.assert_array_equal(a.start, b.start)
+    np.testing.assert_array_equal(a.end, b.end)
+    np.testing.assert_array_equal(a.order, b.order)

@@ -72,3 +72,28 @@ def test_empty_fasta_raises(tmp_path):
     p.write_text("")
     with pytest.raises(ValueError):
         fasta.read_fasta(p)
+
+
+def test_preprocess_sterilizer_matches_reference_contract(tmp_path):
+    """stdin->stdout sterilizer: uppercase, 80-col wrap, reference header
+    suffixes (reference preprocess_moni_fasta.py:33-54)."""
+    import io as _io
+
+    from memo_tpu.io.preprocess import sterilize
+
+    fa = ">r1 desc\nacgt\nACGT\n>r2\n" + "a" * 100 + "\n"
+    out = _io.StringIO()
+    sterilize(_io.StringIO(fa), out)
+    assert out.getvalue() == ">r1\nACGTACGT\n>r2\n" + "A" * 80 + "\n" + "A" * 20 + "\n"
+
+    out = _io.StringIO()
+    sterilize(_io.StringIO(">r\nACGTN\n"), out, reverse=True, complement=True)
+    assert out.getvalue() == ">r_reverse_complement\nNACGT\n"
+
+    out = _io.StringIO()
+    sterilize(_io.StringIO(">r\nACG\n"), out, reverse=True)
+    assert out.getvalue() == ">r_reverse\nGCA\n"
+
+    out = _io.StringIO()
+    sterilize(_io.StringIO(">r\nACG\n"), out, complement=True)
+    assert out.getvalue() == ">r_complement\nTGC\n"

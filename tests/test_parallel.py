@@ -69,3 +69,15 @@ def test_single_device_mesh(store):
 def test_make_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(dp=3, sp=3)  # 9 != 8 devices
+
+
+def test_make_global_mesh_single_process(store):
+    """On one process, the global mesh is (1, n_local) and queries work."""
+    from memo_tpu.parallel.distributed import make_global_mesh
+
+    mesh = make_global_mesh()
+    assert mesh.shape["dp"] == 1 and mesh.shape["sp"] == 8
+    sq = ShardedQuery(store, mesh)
+    engine = QueryEngine(store, backend="numpy")
+    (got,) = sq.conservation([("chr0", 5, 105)], 9)
+    np.testing.assert_array_equal(got, engine.conservation("chr0", 5, 105, 9))
