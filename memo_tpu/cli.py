@@ -101,6 +101,28 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--stats", action="store_true", help="print per-query stats to stderr")
 
 
+def _add_extract(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "extract",
+        help="extract region chr:start-end from an overlap MEM index "
+        "(legacy omem extract, reference extract.sh)",
+    )
+    p.add_argument(
+        "-b", dest="index", required=True, help="MEMO index (.npz native, .parquet or .bed compat)"
+    )
+    p.add_argument(
+        "-r", dest="region", required=True, help="target query region chr:start-end (0-indexed, half open)"
+    )
+    p.add_argument("-o", dest="output_dir", default=".", help="output directory ['.']")
+    p.add_argument(
+        "-n",
+        dest="num_docs",
+        type=int,
+        default=None,
+        help="total documents (only needed for .parquet/.bed inputs)",
+    )
+
+
 def _add_view(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("view", help="plot sequence conservation")
     p.add_argument("-i", dest="in_file", required=True, help="input conservation.out")
@@ -121,6 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_index(sub)
     _add_query(sub)
     _add_view(sub)
+    _add_extract(sub)
     return ap
 
 
@@ -232,6 +255,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_extract(args) -> int:
+    from memo_tpu.io.compat import write_extracted_bed
+    from memo_tpu.query.engine import parse_region
+
+    if args.index.endswith(".npz"):
+        from memo_tpu.index.store import IntervalStore
+
+        store = IntervalStore.load(args.index)
+    else:
+        # kind/n_docs are irrelevant to extraction; placeholders load compat.
+        from memo_tpu.io import compat
+
+        reader = compat.read_parquet if args.index.endswith(".parquet") else compat.read_bed
+        store = reader(args.index, args.num_docs or 2, "conservation")
+    record, qs, qe = parse_region(args.region)
+    os.makedirs(args.output_dir, exist_ok=True)
+    path = write_extracted_bed(store, record, qs, qe, args.output_dir)
+    print(f"Output order MEM overlaps file: {path}")
+    return 0
+
+
 def cmd_view(args) -> int:
     from memo_tpu.view.plot import save_conservation_plot
 
@@ -263,6 +307,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_query(args)
     if args.command == "view":
         return cmd_view(args)
+    if args.command == "extract":
+        return cmd_extract(args)
     raise SystemExit(f"unknown command {args.command}")
 
 

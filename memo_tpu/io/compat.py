@@ -123,6 +123,41 @@ def read_bed(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalStore:
     )
 
 
+def extract_window(
+    store: IntervalStore, record: str, qs: int, qe: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Legacy window extraction (reference extract.sh:61-63): the intervals of
+    ``record`` fully contained in ``[qs, qe)``, in index order.
+
+    The reference pipes ``tabix idx.bed.gz chr:s-e`` (overlapping rows) into
+    ``bedtools intersect -sorted -wa -f 1`` (keep rows 100% inside the query
+    window). That composition is exactly ``qs <= start and end <= qe``;
+    zero-length bookend rows (start == end, §SURVEY 2.3) are kept when they
+    fall inside the window. Returns (starts, ends, orders).
+    """
+    r = store.record_index(record)
+    lo0, hi0 = int(store.rec_offsets[r]), int(store.rec_offsets[r + 1])
+    seg = store.start[lo0:hi0]
+    lo = lo0 + int(np.searchsorted(seg, qs, side="left"))
+    hi = lo0 + int(np.searchsorted(seg, qe, side="right"))
+    keep = store.end[lo:hi] <= qe
+    return store.start[lo:hi][keep], store.end[lo:hi][keep], store.order[lo:hi][keep]
+
+
+def write_extracted_bed(
+    store: IntervalStore, record: str, qs: int, qe: int, out_dir: str | os.PathLike
+) -> str:
+    """Write the extract.sh output file ``omem_olaps_{chr}_{s}_{e}.bed``
+    (reference extract.sh:55) and return its path."""
+    s, e, o = extract_window(store, record, qs, qe)
+    path = os.path.join(str(out_dir), f"omem_olaps_{record}_{qs}_{qe}.bed")
+    with open(path, "wb") as out:
+        name = record.encode()
+        for row in np.stack([s, e, o.astype(np.int64)], axis=1).tolist():
+            out.write(name + b"\t" + b"\t".join(str(v).encode() for v in row) + b"\n")
+    return path
+
+
 def write_dap_text(ms_by_record: list[np.ndarray], path: str | os.PathLike) -> None:
     """Emit the reference dap.txt: ``pos ms_g2 ms_g3 ...`` single-space
     separated, global 0-based positions over the record concatenation

@@ -211,3 +211,36 @@ def test_index_parallel_jobs(example_dir_module, tmp_path):
     np.testing.assert_array_equal(a.start, b.start)
     np.testing.assert_array_equal(a.end, b.end)
     np.testing.assert_array_equal(a.order, b.order)
+
+
+def test_extract(built_index, tmp_path):
+    """memo extract (legacy extract.sh): fully-contained rows of the window,
+    byte-identical to filtering the compat BED by qs <= start and end <= qe."""
+    rc = main(
+        [
+            "extract",
+            "-b", str(built_index / "test.npz"),
+            "-r", "piv_1:5-40",
+            "-o", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = tmp_path / "omem_olaps_piv_1_5_40.bed"
+    assert out.exists()
+    want = []
+    for line in (built_index / "test.bed").read_text().splitlines():
+        c, s, e, o = line.split("\t")
+        if c == "piv_1" and 5 <= int(s) and int(e) <= 40:
+            want.append(line)
+    assert out.read_text().splitlines() == want
+    # parquet input path agrees
+    rc = main(
+        [
+            "extract",
+            "-b", str(built_index / "test.parquet"),
+            "-r", "piv_1:5-40",
+            "-o", str(tmp_path / "pq"),
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "pq" / "omem_olaps_piv_1_5_40.bed").read_text().splitlines() == want
