@@ -108,11 +108,50 @@ def _emit_chunk(
     return starts, ends, orders, new_carry
 
 
+def _native_overlaps(
+    ms: np.ndarray, L: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Streaming C++ extraction (libms ms_overlaps): one pass over the MS
+    matrix, ~30x the chunked-numpy path which is bound on (P,D) int64
+    temporaries. Returns None when libms is unavailable."""
+    import ctypes
+
+    from memo_tpu.native.build import load_libms
+
+    lib = load_libms()
+    if lib is None:
+        return None
+    P, D = ms.shape
+    ms_c = np.ascontiguousarray(ms, np.int32)
+    # Exact bound: one overlap per MEM start; MEM starts = first row (D) +
+    # rule firings + sentinel row (D).
+    cap = int(np.count_nonzero(ms_c[:-1] <= ms_c[1:])) + 2 * D if P else 2 * D
+    starts = np.empty(cap, np.int64)
+    ends = np.empty(cap, np.int64)
+    orders = np.empty(cap, np.int64)
+    orders32 = np.empty(cap, np.int32)
+    k = lib.ms_overlaps(
+        ms_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        P,
+        D,
+        L,
+        cap,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        orders32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if k < 0:  # cap bound violated — cannot happen, but fail safe to numpy
+        return None
+    orders[:k] = orders32[:k]
+    return starts[:k], ends[:k], orders[:k]
+
+
 def mem_overlap_intervals(
     ms: np.ndarray,
     record_len: int | None = None,
     order_sort: bool = False,
     chunk_rows: int = 1 << 22,
+    backend: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All overlap intervals for one pivot record.
 
@@ -123,6 +162,7 @@ def mem_overlap_intervals(
         sentinel row uses the .fai length (dap_to_bed.py:126-133).
       order_sort: sort each row descending first (conservation "order MEMs").
       chunk_rows: rows processed per block (bounds peak memory).
+      backend: "auto" (C++ when available), "native", or "python".
 
     Returns (starts, ends, orders) int64 arrays in reference emission order.
     """
@@ -136,6 +176,15 @@ def mem_overlap_intervals(
         # Row-wise descending sort (the reference's list.sort(reverse=True),
         # dap_to_bed.py:89-90).
         ms = -np.sort(-ms, axis=1)
+
+    if backend in ("auto", "native"):
+        out = _native_overlaps(ms, L)
+        if out is not None:
+            return out
+        if backend == "native":
+            from memo_tpu.native.build import build_error
+
+            raise RuntimeError(f"libms unavailable: {build_error()}")
 
     out_s: list[np.ndarray] = []
     out_e: list[np.ndarray] = []

@@ -74,6 +74,17 @@ def load_libms() -> ctypes.CDLL | None:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.ms_overlaps.restype = ctypes.c_int64
+        lib.ms_overlaps.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # ms [P*D] row-major
+            ctypes.c_int64,  # P
+            ctypes.c_int64,  # D
+            ctypes.c_int64,  # L
+            ctypes.c_int64,  # cap
+            ctypes.POINTER(ctypes.c_int64),  # out starts
+            ctypes.POINTER(ctypes.c_int64),  # out ends
+            ctypes.POINTER(ctypes.c_int32),  # out orders
+        ]
         _LIB = lib
         return lib
 

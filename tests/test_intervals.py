@@ -90,3 +90,17 @@ def test_single_row_record():
     s, e, o = mem_overlap_intervals(ms, 1, order_sort=False)
     # row 0 sets prev; sentinel [1, 2): overlap with [0,3): [1, 2); with [0,1): [1,1)
     assert rows(s, e, o) == [(1, 2, 1), (1, 1, 2)]
+
+
+def test_native_matches_python_backend():
+    """The streaming C++ extraction (libms ms_overlaps) is emission-exact with
+    the chunked-numpy path on randomized MS, all modes, L != P included."""
+    rng = np.random.default_rng(99)
+    for P, D, hi in [(1, 1, 5), (2, 3, 4), (64, 4, 9), (500, 7, 40), (333, 2, 1000)]:
+        ms = rng.integers(0, hi, size=(P, D)).astype(np.int32)
+        for order_sort in (False, True):
+            for L in (P, P + 3):
+                nat = mem_overlap_intervals(ms, L, order_sort=order_sort, backend="native")
+                py = mem_overlap_intervals(ms, L, order_sort=order_sort, backend="python")
+                for a, b in zip(nat, py):
+                    np.testing.assert_array_equal(a, b)
