@@ -33,8 +33,19 @@ def _add_index(sub: argparse._SubParsersAction) -> None:
     p.add_argument(
         "--ms-backend",
         default="auto",
-        choices=["auto", "native", "python"],
-        help="matching-statistics engine [auto]",
+        choices=["auto", "native", "python", "sa"],
+        help="matching-statistics engine: auto (automaton when the document "
+        "fits the RAM budget, else partitioned suffix-array groups), "
+        "native/python (automaton), sa (suffix array) [auto]",
+    )
+    p.add_argument(
+        "--ms-budget-mb",
+        type=int,
+        default=None,
+        metavar="MB",
+        help="RAM budget per matching-statistics group build; documents "
+        "larger than the budget are partitioned at record boundaries and "
+        "max-merged (exact) [8192]",
     )
     p.add_argument(
         "--emit-compat",
@@ -99,6 +110,13 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
     p.add_argument("--stats", action="store_true", help="print per-query stats to stderr")
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="run even if the index kind (conservation/membership) does not "
+        "match the query flag — the output shape will be garbage "
+        "(the reference shares this footgun; we refuse by default)",
+    )
 
 
 def _add_extract(sub: argparse._SubParsersAction) -> None:
@@ -163,6 +181,7 @@ def cmd_index(args) -> int:
     cfg = BuildConfig(
         kind="membership" if args.membership else "conservation",
         backend=args.ms_backend,
+        ms_budget_bytes=args.ms_budget_mb << 20 if args.ms_budget_mb else None,
         workdir=None if args.no_cache else args.output_dir,
         emit_compat=args.emit_compat,
         compat_prefix=args.prefix,
@@ -178,7 +197,7 @@ def cmd_index(args) -> int:
     return 0
 
 
-def load_store(path: str, num_docs: int | None, membership: bool):
+def load_store(path: str, num_docs: int | None, membership: bool, force: bool = False):
     from memo_tpu.index.store import IntervalStore
 
     kind = "membership" if membership else "conservation"
@@ -188,11 +207,17 @@ def load_store(path: str, num_docs: int | None, membership: bool):
             log.warning("-n %d overrides stored n_docs=%d", num_docs, store.n_docs)
             store.n_docs = num_docs
         if store.kind != kind:
-            log.warning(
-                "index kind is %r but query requests %r — results follow the query flag",
-                store.kind,
-                kind,
+            # The native index stores its kind, so a mismatched query flag is
+            # always a user error producing garbage-shaped output. The
+            # reference cannot detect this (Parquet stores no kind); we can,
+            # so refuse unless forced.
+            msg = (
+                f"index {path} is a {store.kind!r} index but the query "
+                f"requests {kind!r} (-m flag mismatch)"
             )
+            if not force:
+                raise SystemExit(msg + "; pass --force to run anyway")
+            log.warning("%s — forced; results follow the query flag", msg)
         return store
     from memo_tpu.io import compat
 
@@ -213,7 +238,7 @@ def cmd_query(args) -> int:
 
     if (args.region is None) == (args.regions_file is None):
         raise SystemExit("exactly one of -r or --regions-file is required")
-    store = load_store(args.index, args.num_docs, args.membership)
+    store = load_store(args.index, args.num_docs, args.membership, force=args.force)
 
     if args.regions_file:
         from memo_tpu.parallel import ShardedQuery, make_mesh

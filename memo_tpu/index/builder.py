@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from memo_tpu.index.intervals import mem_overlap_intervals
-from memo_tpu.index.ms import MatchingStatisticsIndex, document_text
+from memo_tpu.index.ms import document_ms
 from memo_tpu.index.store import IntervalStore
 from memo_tpu.io.fasta import read_fasta, write_fai
 from memo_tpu.utils.logging import get_logger
@@ -45,7 +45,8 @@ def _file_sha(path: str) -> str:
 @dataclass
 class BuildConfig:
     kind: str = "conservation"  # or "membership" (reference index.sh -m flag)
-    backend: str = "auto"  # MS backend: auto | native | python
+    backend: str = "auto"  # MS backend: auto | native | python | sa
+    ms_budget_bytes: int | None = None  # RAM budget per MS group build
     uppercase: bool = True
     workdir: str | None = None  # MS cache location (None = no caching)
     emit_compat: bool = False  # also write fai/dap.txt/bed/parquet
@@ -84,17 +85,19 @@ def _ms_for_document(
     doc_records = read_fasta(doc_path)
     if cfg.uppercase:
         doc_records = [r.upper() for r in doc_records]
-    with stage_timer(f"ms-build:{os.path.basename(doc_path)}"):
-        idx = MatchingStatisticsIndex(document_text(doc_records), backend=cfg.backend)
+    with stage_timer(f"ms:{os.path.basename(doc_path)}"):
+        cols = document_ms(
+            pivot_records,
+            doc_records,
+            backend=cfg.backend,
+            budget_bytes=cfg.ms_budget_bytes,
+        )
     log.info(
-        "built MS index for %s (%d records, backend=%s)",
+        "computed MS for %s (%d records, backend=%s)",
         os.path.basename(doc_path),
         len(doc_records),
-        idx.backend,
+        cfg.backend,
     )
-    with stage_timer(f"ms-query:{os.path.basename(doc_path)}"):
-        cols = [idx.query(piv.seq) for piv in pivot_records]
-    del idx
 
     if cache_path:
         tmp = cache_path + ".tmp.npz"  # .npz suffix so savez doesn't append one

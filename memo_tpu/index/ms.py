@@ -147,11 +147,171 @@ class MatchingStatisticsIndex:
             self._native = None
 
 
+# --- memory-bounded document MS -------------------------------------------
+#
+# MS against a multi-record document is the elementwise MAX over its records
+# (incl. reverse complements): '$' terminators already prevent matches from
+# spanning records, so partitioning the record set into bounded-size groups
+# and max-merging per-group MS is semantics-preserving. This is what makes
+# chromosome/HPRC-scale documents (reference index.sh handles them via MONI's
+# r-index) reachable within a fixed RAM budget. Two engines per group:
+#
+# - automaton (~64 B/char): fastest for small groups, reusable across pivots.
+# - suffix array (ms_sa, ~13 B/char over group+pivot): exact SA-IS + LCP-scan
+#   path for big groups/records — a 250 Mbp chromosome (+RC as a separate
+#   group) fits in a few GB.
+
+#: Default RAM budget for one MS group build (bytes). Override with
+#: MEMO_TPU_MS_BUDGET_BYTES or BuildConfig.ms_budget_bytes / --ms-budget-mb.
+DEFAULT_MS_BUDGET_BYTES = 8 << 30
+
+_AUTOMATON_BYTES_PER_CHAR = 64  # ~2 states/char * (2+6) int32 interleaved
+_SA_BYTES_PER_CHAR = 7  # SA 4 + string 1 + SA-IS recursion workspace ~2
+_SEPARATOR = b"\x01"  # joins pivot records for the one-pass SA query
+
+
+def _ms_budget_bytes(budget_bytes: int | None) -> int:
+    if budget_bytes is not None:
+        return int(budget_bytes)
+    import os
+
+    return int(os.environ.get("MEMO_TPU_MS_BUDGET_BYTES", DEFAULT_MS_BUDGET_BYTES))
+
+
+def partition_units(
+    units: Sequence[FastaRecord], group_max_chars: int
+) -> list[list[FastaRecord]]:
+    """Greedy in-order partition of '$'-terminated units into groups whose
+    total text size stays under ``group_max_chars``. A single unit larger
+    than the cap gets its own group (the engine will raise if it truly
+    cannot fit)."""
+    groups: list[list[FastaRecord]] = []
+    cur: list[FastaRecord] = []
+    cur_chars = 0
+    for u in units:
+        chars = len(u) + 1
+        if cur and cur_chars + chars > group_max_chars:
+            groups.append(cur)
+            cur, cur_chars = [], 0
+        cur.append(u)
+        cur_chars += chars
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def sa_matching_statistics(
+    text: bytes, pivot_records: Sequence[FastaRecord]
+) -> list[np.ndarray]:
+    """Exact MS of every pivot record against ``text`` in ONE suffix-array
+    pass (libms ms_sa): pivot records are joined by 0x01 separators, and each
+    record's output is clamped to its remaining length (matches through the
+    separators can only overshoot past a record's end, never within it)."""
+    import ctypes
+
+    from memo_tpu.native.build import build_error, load_libms
+
+    lib = load_libms()
+    if lib is None:
+        raise RuntimeError(f"libms unavailable for SA backend: {build_error()}")
+    pivot_cat = _SEPARATOR.join(r.seq.tobytes() for r in pivot_records)
+    m = len(pivot_cat)
+    out = np.zeros(m, np.int32)
+    if m and text:
+        rc = lib.ms_sa(
+            text,
+            len(text),
+            pivot_cat,
+            m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == -1:
+            raise ValueError(
+                f"SA group too large for int32 indexing ({len(text) + m} chars); "
+                "lower the MS budget so groups shrink"
+            )
+        if rc == -2:
+            raise ValueError("input contains reserved control bytes (0x00/0x01)")
+        if rc != 0:
+            raise RuntimeError(f"ms_sa failed with code {rc}")
+    cols: list[np.ndarray] = []
+    off = 0
+    for r in pivot_records:
+        piece = out[off : off + len(r)].copy()
+        np.minimum(piece, np.arange(len(r), 0, -1, dtype=np.int32), out=piece)
+        cols.append(piece)
+        off += len(r) + 1
+    return cols
+
+
+def document_ms(
+    pivot_records: Sequence[FastaRecord],
+    doc_records: Sequence[FastaRecord],
+    backend: str = "auto",
+    budget_bytes: int | None = None,
+) -> list[np.ndarray]:
+    """MS of every pivot record against one document (records + RCs), within
+    a fixed RAM budget. Returns one int32 array per pivot record.
+
+    backend: "auto" (automaton when the whole document fits the budget, else
+    partitioned SA groups), "native"/"python" (automaton, partitioned to the
+    budget), or "sa" (suffix-array path, partitioned to the budget).
+    """
+    budget = _ms_budget_bytes(budget_bytes)
+    units = with_reverse_complements(doc_records)
+    total_chars = sum(len(u) + 1 for u in units)
+    pivot_chars = sum(len(r) + 1 for r in pivot_records)
+    automaton_max = max(budget // _AUTOMATON_BYTES_PER_CHAR, 1 << 20)
+    sa_max = max(
+        min(budget // _SA_BYTES_PER_CHAR - pivot_chars, (1 << 31) - 16 - pivot_chars),
+        1 << 20,
+    )
+
+    from memo_tpu.native.build import load_libms
+
+    native_ok = load_libms() is not None
+
+    if backend == "auto":
+        if total_chars <= automaton_max:
+            engine, group_max = "automaton", total_chars  # single group
+        elif native_ok:
+            engine, group_max = "sa", sa_max
+        else:
+            engine, group_max = "automaton", automaton_max  # python fallback
+    elif backend in ("native", "python"):
+        engine, group_max = "automaton", automaton_max
+    elif backend == "sa":
+        engine, group_max = "sa", sa_max
+    else:
+        raise ValueError(f"unknown MS backend {backend!r}")
+
+    out = [np.zeros(len(r), np.int32) for r in pivot_records]
+    for group in partition_units(units, group_max):
+        group_chars = sum(len(u) + 1 for u in group)
+        if engine == "sa" and group_chars > sa_max:
+            raise ValueError(
+                f"record of {group_chars} chars exceeds the MS budget "
+                f"({budget} bytes allows {sa_max}); raise --ms-budget-mb"
+            )
+        text = document_text(group, add_rc=False)  # RCs are already units
+        if engine == "sa":
+            cols = sa_matching_statistics(text, pivot_records)
+        else:
+            auto_backend = backend if backend in ("native", "python") else "auto"
+            idx = MatchingStatisticsIndex(text, backend=auto_backend)
+            cols = [idx.query(piv.seq) for piv in pivot_records]
+            del idx
+        for acc, col in zip(out, cols):
+            np.maximum(acc, col, out=acc)
+    return out
+
+
 def matching_statistics(
     pivot_records: Sequence[FastaRecord],
     documents: Sequence[Sequence[FastaRecord]],
     backend: str = "auto",
     uppercase: bool = True,
+    budget_bytes: int | None = None,
 ) -> list[np.ndarray]:
     """Full DAP: per pivot record r, an int32 array ``[len(r), n_documents]``
     of matching statistics (column j = document j, the reference's dap.txt
@@ -160,10 +320,9 @@ def matching_statistics(
     out = [np.zeros((len(r), len(documents)), np.int32) for r in pivots]
     for j, doc in enumerate(documents):
         doc_recs = [r.upper() if uppercase else r for r in doc]
-        idx = MatchingStatisticsIndex(document_text(doc_recs), backend=backend)
-        for i, piv in enumerate(pivots):
-            out[i][:, j] = idx.query(piv.seq)
-        del idx
+        cols = document_ms(pivots, doc_recs, backend=backend, budget_bytes=budget_bytes)
+        for i, col in enumerate(cols):
+            out[i][:, j] = col
     return out
 
 

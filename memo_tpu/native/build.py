@@ -26,10 +26,17 @@ def _cache_dir() -> str:
     return d
 
 
+def _sanitize() -> bool:
+    """ASAN/UBSAN build mode (SURVEY §5 sanitizer row): MEMO_TPU_ASAN=1
+    compiles libms with -fsanitize=address,undefined for fuzz/CI runs."""
+    return os.environ.get("MEMO_TPU_ASAN", "") == "1"
+
+
 def _build() -> str:
     with open(_SRC, "rb") as fh:
         digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"libms-{digest}.so")
+    tag = "-asan" if _sanitize() else ""
+    so_path = os.path.join(_cache_dir(), f"libms-{digest}{tag}.so")
     if os.path.exists(so_path):
         return so_path
     cmd = [
@@ -39,10 +46,10 @@ def _build() -> str:
         "-std=c++17",
         "-shared",
         "-fPIC",
-        _SRC,
-        "-o",
-        so_path + ".tmp",
     ]
+    if _sanitize():
+        cmd += ["-fsanitize=address,undefined", "-fno-omit-frame-pointer", "-g"]
+    cmd += [_SRC, "-o", so_path + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(so_path + ".tmp", so_path)
     return so_path
@@ -70,6 +77,22 @@ def load_libms() -> ctypes.CDLL | None:
         lib.ms_query.restype = None
         lib.ms_query.argtypes = [
             ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ms_build_capped.restype = ctypes.c_void_p
+        lib.ms_build_capped.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        lib.ms_sa.restype = ctypes.c_int64
+        lib.ms_sa.argtypes = [
+            ctypes.c_char_p,  # text
+            ctypes.c_int64,  # n
+            ctypes.c_char_p,  # pivot (records joined by 0x01)
+            ctypes.c_int64,  # m
+            ctypes.POINTER(ctypes.c_int32),  # out [m]
+        ]
+        lib.sais_u8.restype = ctypes.c_int32
+        lib.sais_u8.argtypes = [
             ctypes.c_char_p,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),

@@ -24,6 +24,7 @@
 //
 // C ABI only (consumed via ctypes from memo_tpu.index.ms) — no pybind11.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -45,7 +46,8 @@ struct Automaton {
   int alpha = 0;
   int32_t last = 0;
   int32_t count = 0;
-  bool overflow = false;  // should never trip: acap is pre-counted
+  bool overflow = false;  // alphabet-cap or state-id overflow
+  int32_t max_states = INT32_MAX - 2;  // state ids are int32; guard the wrap
 
   explicit Automaton(int alphabet_cap) : stride(2 + alphabet_cap), acap(alphabet_cap) {
     for (int i = 0; i < 256; ++i) code[i] = -1;
@@ -60,6 +62,10 @@ struct Automaton {
   const int32_t* S(int32_t s) const { return st.data() + static_cast<size_t>(s) * stride; }
 
   int32_t new_state() {
+    if (count >= max_states) {  // int32 id would wrap (~0.5 Gbp text); caller
+      overflow = true;          // must partition the document (index/ms.py)
+      return 0;
+    }
     st.resize(st.size() + stride, -1);
     return count++;
   }
@@ -86,6 +92,7 @@ struct Automaton {
     int c = code_of(b, /*create=*/true);
     if (c < 0) return;  // overflow flagged; caller checks
     int32_t cur = new_state();
+    if (overflow) return;
     S(cur)[0] = len_of(last) + 1;
     int32_t p = last;
     while (p != -1 && tr(p, c) == -1) {
@@ -100,6 +107,7 @@ struct Automaton {
         S(cur)[1] = q;
       } else {
         int32_t clone = new_state();
+        if (overflow) return;
         std::memcpy(S(clone), S(q), stride * sizeof(int32_t));
         S(clone)[0] = len_of(p) + 1;
         while (p != -1 && tr(p, c) == q) {
@@ -114,13 +122,225 @@ struct Automaton {
   }
 };
 
+// ---------------------------------------------------------------------------
+// SA-IS suffix array construction (Nong/Zhang/Chan induced sorting) and
+// LCP-scan matching statistics.
+//
+// The automaton above needs ~64 B per text char; a chromosome-scale record
+// (250 Mbp + RC) would need ~32 GB. This path computes the same MS exactly
+// via one suffix array over text ++ 0x01 ++ pivot ++ 0x00 at ~13 B/char
+// (SA 4 + rank 4 + LCP 4 + string 1), so whole-chromosome documents fit a
+// modest RAM budget. ms[p] = max over text suffixes t of lcp(pivot[p:], t),
+// which is the min-LCP to the nearest text suffix above/below the pivot
+// suffix in SA order — two linear scans. Separator bytes (0x01/0x00) occur
+// nowhere in genomic input (caller-guarded), so matches cannot cross record
+// terminators; any overshoot through the single text/pivot separator is
+// clipped by the caller's per-record length clamp (index/ms.py).
+// ---------------------------------------------------------------------------
+
+template <typename CharT>
+static void sais_impl(const CharT* s, int32_t* SA, int32_t n, int32_t K) {
+  // n includes a trailing sentinel s[n-1] that is the unique minimum.
+  if (n == 1) {
+    SA[0] = 0;
+    return;
+  }
+  std::vector<uint8_t> t(n);  // 1 = S-type
+  t[n - 1] = 1;
+  for (int32_t i = n - 2; i >= 0; --i)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+  auto is_lms = [&](int32_t i) { return i > 0 && t[i] && !t[i - 1]; };
+
+  std::vector<int32_t> bkt(K);
+  auto get_buckets = [&](bool end) {
+    std::fill(bkt.begin(), bkt.end(), 0);
+    for (int32_t i = 0; i < n; ++i) bkt[s[i]]++;
+    int32_t sum = 0;
+    for (int32_t c = 0; c < K; ++c) {
+      sum += bkt[c];
+      bkt[c] = end ? sum : sum - bkt[c];
+    }
+  };
+  // The induced-sort passes are bound on dependent random loads
+  // (SA[i] -> t[j]/s[j]); prefetching a few iterations ahead hides most of
+  // the miss latency on large (cache-cold) texts.
+  constexpr int32_t PF = 16;
+  auto induce = [&]() {
+    get_buckets(false);  // induce L-types left to right
+    for (int32_t i = 0; i < n; ++i) {
+      if (i + PF < n && SA[i + PF] > 0) {
+        __builtin_prefetch(&t[SA[i + PF] - 1]);
+        __builtin_prefetch(&s[SA[i + PF] - 1]);
+      }
+      int32_t j = SA[i] - 1;
+      if (SA[i] > 0 && !t[j]) SA[bkt[s[j]]++] = j;
+    }
+    get_buckets(true);  // induce S-types right to left
+    for (int32_t i = n - 1; i >= 0; --i) {
+      if (i - PF >= 0 && SA[i - PF] > 0) {
+        __builtin_prefetch(&t[SA[i - PF] - 1]);
+        __builtin_prefetch(&s[SA[i - PF] - 1]);
+      }
+      int32_t j = SA[i] - 1;
+      if (SA[i] > 0 && t[j]) SA[--bkt[s[j]]] = j;
+    }
+  };
+
+  // Stage 1: bucket-sort LMS positions, induce a full (LMS-substring) order.
+  std::fill(SA, SA + n, -1);
+  get_buckets(true);
+  for (int32_t i = 1; i < n; ++i)
+    if (is_lms(i)) SA[--bkt[s[i]]] = i;
+  induce();
+
+  // Stage 2: compact the now-sorted LMS positions and name their substrings.
+  int32_t n1 = 0;
+  for (int32_t i = 0; i < n; ++i)
+    if (is_lms(SA[i])) SA[n1++] = SA[i];
+  std::fill(SA + n1, SA + n, -1);
+  int32_t name = 0, prev = -1;
+  for (int32_t i = 0; i < n1; ++i) {
+    int32_t pos = SA[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int32_t d = 0;; ++d) {
+        bool lp = d > 0 && is_lms(pos + d);
+        bool lq = d > 0 && is_lms(prev + d);
+        if (lp && lq) break;  // both substrings ended together: equal
+        if (lp != lq || s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+          diff = true;
+          break;
+        }
+      }
+    }
+    if (diff) {
+      ++name;
+      prev = pos;
+    }
+    SA[n1 + pos / 2] = name - 1;  // LMS positions are >= 2 apart: pos/2 unique
+  }
+  int32_t* s1 = SA + n - n1;
+  for (int32_t i = n - 1, j = n - 1; i >= n1; --i)
+    if (SA[i] >= 0) SA[j--] = SA[i];
+
+  // Stage 3: order the LMS suffixes (recurse iff names repeat), re-induce.
+  if (name < n1) {
+    sais_impl<int32_t>(s1, SA, n1, name);
+  } else {
+    for (int32_t i = 0; i < n1; ++i) SA[s1[i]] = i;
+  }
+  for (int32_t i = 1, j = 0; i < n; ++i)
+    if (is_lms(i)) s1[j++] = i;  // LMS positions in text order
+  for (int32_t i = 0; i < n1; ++i) SA[i] = s1[SA[i]];
+  std::fill(SA + n1, SA + n, -1);
+  get_buckets(true);
+  for (int32_t i = n1 - 1; i >= 0; --i) {
+    int32_t j = SA[i];
+    SA[i] = -1;
+    SA[--bkt[s[j]]] = j;
+  }
+  induce();
+}
+
 }  // namespace
 
 extern "C" {
 
+// Suffix array of s[0..n) (no sentinel required; one is appended internally).
+// Test/debug surface for the SA-IS core. Returns 0, or -1 if n is too large.
+int32_t sais_u8(const uint8_t* s, int64_t n, int32_t* sa_out) {
+  if (n + 1 > INT32_MAX - 1) return -1;
+  std::vector<uint8_t> buf(static_cast<size_t>(n) + 1);
+  std::memcpy(buf.data(), s, static_cast<size_t>(n));
+  buf[n] = 0;  // unique minimum sentinel (caller guarantees no 0x00 in s)
+  std::vector<int32_t> sa(static_cast<size_t>(n) + 1);
+  sais_impl<uint8_t>(buf.data(), sa.data(), static_cast<int32_t>(n + 1), 256);
+  std::memcpy(sa_out, sa.data() + 1, static_cast<size_t>(n) * sizeof(int32_t));
+  return 0;
+}
+
+// Matching statistics of `pivot` (records joined by 0x01) against `text`
+// (records + RCs, '$'-terminated) via one SA-IS pass over
+// text ++ 0x01 ++ pivot ++ 0x00. out[i] = longest prefix of pivot[i:]
+// occurring in text; separator slots of `pivot` get arbitrary values the
+// caller discards. Caller must clamp out[i] to its pivot record's remaining
+// length (matches through the joining separators overshoot past record ends,
+// never within them). Inputs must not contain bytes 0x00/0x01.
+// Returns 0, -1 if combined length exceeds int32 indexing, -2 on bad bytes.
+int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
+              int32_t* out) {
+  const int64_t N = n + m + 2;  // + separator + sentinel
+  if (N > INT32_MAX - 1) return -1;
+  std::vector<uint8_t> S(static_cast<size_t>(N));
+  std::memcpy(S.data(), text, static_cast<size_t>(n));
+  S[n] = 0x01;
+  std::memcpy(S.data() + n + 1, pivot, static_cast<size_t>(m));
+  S[N - 1] = 0x00;
+  // Text must be clean of both control bytes; the pivot may contain 0x01
+  // (its own record separators — matches crossing them only overshoot past
+  // record ends, which the caller clamps) but never 0x00.
+  for (int64_t i = 0; i < n; ++i)
+    if (S[i] <= 0x01) return -2;
+  for (int64_t i = n + 1; i < N - 1; ++i)
+    if (S[i] == 0x00) return -2;
+
+  std::vector<int32_t> SA(static_cast<size_t>(N));
+  sais_impl<uint8_t>(S.data(), SA.data(), static_cast<int32_t>(N), 256);
+
+  // For each pivot suffix p, ms relative to the text is
+  //   max(lcp(p, nearest text suffix above in SA order),
+  //       lcp(p, nearest text suffix below)) —
+  // nearest suffices because range-min LCP only shrinks with distance.
+  // Each direction: one sequential SA pass records the neighbor text
+  // position, then a text-order pass computes the lcp with PLCP-style
+  // amortization — lcp(p+1, nearest(p+1)) >= lcp(p, nearest(p)) - 1, since
+  // dropping the first matched char of (p, u) yields the text suffix u+1
+  // still above/below p+1. This replaces Kasai + rank + full LCP (8 B/char
+  // and the dominant cache-miss cost) with one int32[m] neighbor array.
+  std::vector<int32_t> nbr(static_cast<size_t>(m));
+  auto scan = [&](bool above) {
+    std::fill(nbr.begin(), nbr.end(), -1);
+    int64_t last_text = -1;
+    const int64_t step = above ? 1 : -1;
+    for (int64_t r = above ? 0 : N - 1; r >= 0 && r < N; r += step) {
+      int64_t p = SA[r];
+      if (p < n) {
+        last_text = p;  // genuine text suffix (p == n is the separator)
+      } else if (p > n && p < N - 1) {
+        nbr[p - n - 1] = static_cast<int32_t>(last_text);
+      }
+    }
+    int64_t h = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      if (i + 8 < m && nbr[i + 8] >= 0) __builtin_prefetch(&S[nbr[i + 8]]);
+      int64_t u = nbr[i];
+      if (u < 0) {
+        h = 0;
+        continue;
+      }
+      int64_t p = n + 1 + i;
+      while (S[p + h] == S[u + h]) ++h;  // 0x00 sentinel is unique: terminates
+      if (h > out[i]) out[i] = static_cast<int32_t>(h);
+      // Carry h-1 to the next position: valid because u+1 is still a text
+      // suffix on the same side of p+1. When u is the LAST text suffix its
+      // successor is the separator, so the carry does not hold — reset.
+      if (u == n - 1) h = 0;
+      else if (h) --h;
+    }
+  };
+  for (int64_t i = 0; i < m; ++i) out[i] = 0;
+  scan(true);
+  scan(false);
+  return 0;
+}
+
 // Build the automaton over reverse(text). Returns nullptr on alphabet
-// overflow or allocation failure.
-void* ms_build(const uint8_t* text, int64_t n) {
+// overflow, state-id (int32) overflow, or allocation failure. `max_states`
+// <= 0 means the int32 ceiling; smaller values are a test hook for the
+// overflow guard.
+void* ms_build_capped(const uint8_t* text, int64_t n, int64_t max_states) {
   // Pre-count the exact alphabet so transition rows are sized to it.
   bool seen[256] = {false};
   int acap = 0;
@@ -133,8 +353,11 @@ void* ms_build(const uint8_t* text, int64_t n) {
   if (acap == 0) acap = 1;
   auto* a = new (std::nothrow) Automaton(acap);
   if (!a) return nullptr;
+  if (max_states > 0 && max_states < a->max_states)
+    a->max_states = static_cast<int32_t>(max_states);
   try {
-    a->st.reserve((2 * n + 4) * static_cast<size_t>(a->stride));
+    if (2 * n + 4 < a->max_states)
+      a->st.reserve((2 * n + 4) * static_cast<size_t>(a->stride));
     for (int64_t i = n - 1; i >= 0; --i) {
       a->extend(text[i]);
       if (a->overflow) {
@@ -147,6 +370,10 @@ void* ms_build(const uint8_t* text, int64_t n) {
     return nullptr;
   }
   return a;
+}
+
+void* ms_build(const uint8_t* text, int64_t n) {
+  return ms_build_capped(text, n, 0);
 }
 
 void ms_free(void* h) { delete static_cast<Automaton*>(h); }

@@ -187,6 +187,22 @@ def test_query_requires_region_xor_regions_file(built_index, tmp_path):
         main(["query", "-b", str(built_index / "test.npz"), "-o", str(tmp_path / "x")])
 
 
+def test_query_kind_mismatch_refused(built_index, tmp_path):
+    """Querying a conservation index with -m is an error unless --force."""
+    args = [
+        "query",
+        "-b", str(built_index / "test.npz"),
+        "-k", "3",
+        "-r", "piv_1:0-40",
+        "-o", str(tmp_path / "m.txt"),
+        "-m",
+        "--backend", "numpy",
+    ]
+    with pytest.raises(SystemExit, match="mismatch"):
+        main(args)
+    assert main(args + ["--force"]) == 0  # explicit override still runs
+
+
 def test_index_parallel_jobs(example_dir_module, tmp_path):
     """--jobs N builds the same index as serial."""
     serial = tmp_path / "s"

@@ -102,3 +102,115 @@ def test_uppercase_normalization():
     docs = [[_rec("d", "ACGT")]]
     out = msmod.matching_statistics(pivot, docs, backend="python", uppercase=True)
     assert out[0][:, 0].tolist() == [4, 3, 2, 1]
+
+
+# --- suffix-array (SA-IS) engine and memory-bounded partitioning -----------
+
+
+def test_sais_vs_naive_suffix_array(native_available):
+    import ctypes
+    import random
+
+    rng = random.Random(11)
+    for trial in range(100):
+        n = rng.randint(1, 120)
+        s = bytes(rng.choice(b"ACGTN$ab\x7f") for _ in range(n))
+        sa = np.zeros(n, np.int32)
+        rc = native_available.sais_u8(
+            s, n, sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
+        assert rc == 0
+        assert sa.tolist() == sorted(range(n), key=lambda i: s[i:]), (trial, s)
+
+
+def test_sa_ms_vs_automaton_and_naive(native_available):
+    import random
+
+    from memo_tpu.io.fasta import with_reverse_complements
+
+    rng = random.Random(5)
+    for trial in range(60):
+        alpha = rng.choice(["AC", "ACGT", "ACGTN", "ACGTacgtn"])
+        doc = [
+            _rec(f"d{i}", "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
+            for i in range(rng.randint(1, 4))
+        ]
+        piv = [
+            _rec(f"p{i}", "".join(rng.choice(alpha) for _ in range(rng.randint(0, 50))))
+            for i in range(rng.randint(1, 3))
+        ]
+        units = with_reverse_complements(doc)
+        text = msmod.document_text(units, add_rc=False)
+        cols = msmod.sa_matching_statistics(text, piv)
+        auto = msmod.MatchingStatisticsIndex(text, backend="native")
+        for i, p in enumerate(piv):
+            want = auto.query(p.seq)
+            assert np.array_equal(cols[i], want), (trial, i, p.seq.tobytes())
+            naive = msmod.naive_matching_statistics(
+                p.seq.tobytes(), [u.seq.tobytes() for u in units]
+            )
+            assert np.array_equal(want, naive), (trial, i)
+
+
+def test_partitioned_equals_monolithic():
+    """The chromosome-scale path: per-record groups max-merged == one build."""
+    import random
+
+    rng = random.Random(9)
+    for trial in range(20):
+        doc = [
+            _rec(f"d{i}", _rand_dna(rng, rng.randint(0, 50)))
+            for i in range(rng.randint(1, 5))
+        ]
+        piv = [_rec("p", _rand_dna(rng, 48))]
+        mono = msmod.document_ms(piv, doc, backend="auto")
+        for be in ("sa", "native", "python"):
+            if be != "python":
+                from memo_tpu.native.build import load_libms
+
+                if load_libms() is None:
+                    continue
+            # ~200-char groups: forces several partitions per document
+            part = msmod.document_ms(piv, doc, backend=be, budget_bytes=200 * 13)
+            assert np.array_equal(mono[0], part[0]), (trial, be)
+
+
+def test_partition_units_respects_cap():
+    units = [_rec(str(i), "A" * n) for i, n in enumerate([5, 5, 5, 20, 3])]
+    groups = msmod.partition_units(units, 12)
+    assert [len(g) for g in groups] == [2, 1, 1, 1]  # 20-char unit alone
+    assert sum(len(g) for g in groups) == len(units)
+
+
+def test_automaton_int32_state_guard(native_available):
+    """State ids are int32; a capped build must fail instead of wrapping."""
+    assert not native_available.ms_build_capped(b"ABCDEFGH" * 10, 80, 20)
+    h = native_available.ms_build_capped(b"ABCDEFGH" * 10, 80, 0)
+    assert h
+    native_available.ms_free(h)
+
+
+def test_sa_backend_through_build(tmp_path):
+    """`--ms-backend sa` end-to-end: same store as the automaton backend."""
+    from memo_tpu.native.build import load_libms
+
+    if load_libms() is None:
+        pytest.skip("libms unavailable")
+    import random
+
+    from memo_tpu.index.builder import BuildConfig, build_index
+    from memo_tpu.io.fasta import write_fasta
+
+    rng = random.Random(3)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.fa"
+        recs = [_rec(f"g{i}r{j}", _rand_dna(rng, 120)) for j in range(2)]
+        write_fasta(str(p), recs)
+        paths.append(str(p))
+    a = build_index(paths, BuildConfig(backend="native", workdir=None))
+    b = build_index(paths, BuildConfig(backend="sa", workdir=None))
+    assert np.array_equal(a.start, b.start)
+    assert np.array_equal(a.end, b.end)
+    assert np.array_equal(a.order, b.order)
+    assert np.array_equal(a.rec_id, b.rec_id)
