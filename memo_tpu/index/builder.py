@@ -69,9 +69,11 @@ def read_genome_list(path: str) -> list[str]:
 
 
 def _ms_for_document(
-    doc_path: str, pivot_records, pivot_sha: str, cfg: BuildConfig
+    doc_path: str, pivot_records, pivot_sha: str, cfg: BuildConfig, inner_jobs: int = 1
 ) -> list[np.ndarray]:
-    """MS of every pivot record vs one document, with manifest caching."""
+    """MS of every pivot record vs one document, with manifest caching.
+    ``inner_jobs`` threads parallelize the within-document MS groups when the
+    document itself is the unit of work (single-document builds)."""
     cache_path = None
     if cfg.workdir:
         os.makedirs(cfg.workdir, exist_ok=True)
@@ -91,6 +93,7 @@ def _ms_for_document(
             doc_records,
             backend=cfg.backend,
             budget_bytes=cfg.ms_budget_bytes,
+            jobs=inner_jobs,
         )
     log.info(
         "computed MS for %s (%d records, backend=%s)",
@@ -136,8 +139,12 @@ def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) ->
             for i, col in enumerate(cols):
                 ms_by_record[i][:, j] = col
     else:
+        # Serial over documents: spend the job budget inside each document
+        # (parallel MS groups) instead — the single-chromosome build case.
         for j, doc_path in enumerate(doc_paths):
-            cols = _ms_for_document(doc_path, pivot_records, pivot_sha, cfg)
+            cols = _ms_for_document(
+                doc_path, pivot_records, pivot_sha, cfg, inner_jobs=cfg.jobs
+            )
             for i, col in enumerate(cols):
                 ms_by_record[i][:, j] = col
 

@@ -249,6 +249,7 @@ def document_ms(
     doc_records: Sequence[FastaRecord],
     backend: str = "auto",
     budget_bytes: int | None = None,
+    jobs: int = 1,
 ) -> list[np.ndarray]:
     """MS of every pivot record against one document (records + RCs), within
     a fixed RAM budget. Returns one int32 array per pivot record.
@@ -256,6 +257,9 @@ def document_ms(
     backend: "auto" (automaton when the whole document fits the budget, else
     partitioned SA groups), "native"/"python" (automaton, partitioned to the
     budget), or "sa" (suffix-array path, partitioned to the budget).
+
+    jobs > 1 builds groups in parallel threads (libms releases the GIL);
+    peak memory is ~jobs * budget — the caller owns that trade.
     """
     budget = _ms_budget_bytes(budget_bytes)
     units = with_reverse_complements(doc_records)
@@ -285,8 +289,7 @@ def document_ms(
     else:
         raise ValueError(f"unknown MS backend {backend!r}")
 
-    out = [np.zeros(len(r), np.int32) for r in pivot_records]
-    for group in partition_units(units, group_max):
+    def group_cols(group: list[FastaRecord]) -> list[np.ndarray]:
         group_chars = sum(len(u) + 1 for u in group)
         if engine == "sa" and group_chars > sa_max:
             raise ValueError(
@@ -295,14 +298,27 @@ def document_ms(
             )
         text = document_text(group, add_rc=False)  # RCs are already units
         if engine == "sa":
-            cols = sa_matching_statistics(text, pivot_records)
-        else:
-            auto_backend = backend if backend in ("native", "python") else "auto"
-            idx = MatchingStatisticsIndex(text, backend=auto_backend)
-            cols = [idx.query(piv.seq) for piv in pivot_records]
+            return sa_matching_statistics(text, pivot_records)
+        auto_backend = backend if backend in ("native", "python") else "auto"
+        idx = MatchingStatisticsIndex(text, backend=auto_backend)
+        try:
+            return [idx.query(piv.seq) for piv in pivot_records]
+        finally:
             del idx
-        for acc, col in zip(out, cols):
-            np.maximum(acc, col, out=acc)
+
+    groups = partition_units(units, group_max)
+    out = [np.zeros(len(r), np.int32) for r in pivot_records]
+    if jobs > 1 and len(groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            for cols in pool.map(group_cols, groups):
+                for acc, col in zip(out, cols):
+                    np.maximum(acc, col, out=acc)
+    else:
+        for group in groups:
+            for acc, col in zip(out, group_cols(group)):
+                np.maximum(acc, col, out=acc)
     return out
 
 

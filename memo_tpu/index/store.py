@@ -188,6 +188,12 @@ class QueryLayout:
     e_by_col: np.ndarray  # int64[M] partner ends
     col_offsets: np.ndarray  # int64[R*C + 1] flattened (record, order) segments
     monotone: bool
+    # Composite keys seg_id*stride + value: globally sorted, so per-segment
+    # searchsorted vectorizes into ONE searchsorted over all C columns at
+    # once (prefix_counts) instead of a per-column Python loop.
+    key_stride: int = 0
+    s_keys: np.ndarray = None  # int64[M]
+    e_keys: np.ndarray = None  # int64[M]
 
     @classmethod
     def build(cls, store: "IntervalStore") -> "QueryLayout":
@@ -216,6 +222,18 @@ class QueryLayout:
             col_offsets = np.zeros(store.num_records * C + 1, np.int64)
             monotone = False
 
+        if in_range and store.num_intervals:
+            # Stride must exceed every stored coordinate (ends can reach 2L).
+            stride = int(max(store.end.max(), store.start.max())) + 2
+            seg_of_row = np.repeat(
+                np.arange(len(col_offsets) - 1, dtype=np.int64),
+                np.diff(col_offsets),
+            )
+            s_keys = seg_of_row * stride + s_by_col
+            e_keys = seg_of_row * stride + e_by_col
+        else:
+            stride, s_keys, e_keys = 1, np.zeros(0, np.int64), np.zeros(0, np.int64)
+
         return cls(
             end_sorted=store.end[perm_e],
             start_by_end=store.start[perm_e],
@@ -224,6 +242,9 @@ class QueryLayout:
             e_by_col=e_by_col,
             col_offsets=col_offsets,
             monotone=monotone,
+            key_stride=stride,
+            s_keys=s_keys,
+            e_keys=e_keys,
         )
 
     def prefix_counts(self, store: "IntervalStore", r: int, qs: int, k: int) -> np.ndarray:
@@ -235,12 +256,17 @@ class QueryLayout:
         E0 = qs + k - 1
         out = np.zeros(C, np.int64)
         if self.monotone:
-            base = r * C
-            for c in range(1, C):
-                lo, hi = self.col_offsets[base + c], self.col_offsets[base + c + 1]
-                pe = np.searchsorted(self.e_by_col[lo:hi], E0, side="right")
-                ps = np.searchsorted(self.s_by_col[lo:hi], qs, side="right")
-                out[c] = max(0, pe - ps)
+            # One vectorized searchsorted per stream over ALL columns of this
+            # record at once (composite seg*stride+value keys are globally
+            # sorted), instead of 2(C-1) tiny per-column searches.
+            segs = np.arange(r * C + 1, r * C + C, dtype=np.int64)
+            # Clamp probes into this segment's key range: stride exceeds every
+            # stored value, so stride-1 means "count all" (k can push E0 past
+            # it on tiny records) and qs >= 0 is already in range.
+            e_probe = min(E0, self.key_stride - 1)
+            pe = np.searchsorted(self.e_keys, segs * self.key_stride + e_probe, side="right")
+            ps = np.searchsorted(self.s_keys, segs * self.key_stride + qs, side="right")
+            np.maximum(pe - ps, 0, out=out[1:])
             return out
         lo, hi = store.rec_offsets[r], store.rec_offsets[r + 1]
         mask = (store.end[lo:hi] <= E0) & (store.start[lo:hi] > qs)

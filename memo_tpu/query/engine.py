@@ -185,11 +185,16 @@ class QueryEngine:
             # position chunks (halving preserves exactness).
             mid = (qs + qe) // 2
             if mid == qs:
-                raise RuntimeError("interval bucket overflow on a single position")
+                return self._query_interval_pieces(record, qs, qe, k, membership, lo, hi)
             left = self._query_chunk(record, qs, mid, k, membership, stats)
             right = self._query_chunk(record, mid, qe, k, membership, stats)
             return self._cat(left, right)
 
+        return self._run_device_range(record, qs, k, membership, lo, M, L)
+
+    def _run_device_range(
+        self, record: str, qs: int, k: int, membership: bool, lo: int, M: int, L: int
+    ):
         r = self.store.record_index(record)
         rec_end = int(self.store.rec_offsets[r + 1])
         import jax.numpy as jnp
@@ -205,6 +210,29 @@ class QueryEngine:
             jnp.int32(k),
         )
         return out if self.device_output else np.asarray(out)
+
+    def _query_interval_pieces(
+        self, record: str, qs: int, qe: int, k: int, membership: bool, lo: int, hi: int
+    ):
+        """Pathological fallback: more covering intervals on a single position
+        than the bucket cap. Coverage is additive over interval subsets (each
+        subset's diff-array counts are non-negative), so marks distribute as a
+        union — combine per-piece outputs with elementwise MIN (conservation:
+        min marked order; membership: AND of presence)."""
+        L = qe - qs
+        M = self.max_intervals
+        acc = None
+        for piece_lo in range(lo, hi, M):
+            out = self._run_device_range(record, qs, k, membership, piece_lo, M, L)
+            if acc is None:
+                acc = out
+            elif self.device_output:
+                import jax.numpy as jnp
+
+                acc = jnp.minimum(acc, out)
+            else:
+                acc = np.minimum(acc, out)
+        return acc
 
     def _query_chunk_pallas(
         self, record: str, qs: int, qe: int, k: int, membership: bool, stats: QueryStats
@@ -234,7 +262,11 @@ class QueryEngine:
         if count > M:
             mid = (qs + qe) // 2
             if mid == qs:
-                raise RuntimeError("interval bucket overflow on a single position")
+                # Single position over the cap: accumulate over interval
+                # pieces via the dense-jax program (the kernel's dual event
+                # streams don't partition by interval subset).
+                lo, hi = st.window_bounds(record, qs, qe, k)
+                return self._query_interval_pieces(record, qs, qe, k, membership, lo, hi)
             left = self._query_chunk_pallas(record, qs, mid, k, membership, stats)
             right = self._query_chunk_pallas(record, mid, qe, k, membership, stats)
             return self._cat(left, right)
