@@ -56,6 +56,13 @@ def _add_index(sub: argparse._SubParsersAction) -> None:
     p.add_argument(
         "--jobs", type=int, default=1, help="parallel per-genome MS builds [1]"
     )
+    p.add_argument(
+        "--preserve-case",
+        action="store_true",
+        help="byte-literal matching like MONI (the reference pipeline never "
+        "case-folds, so soft-masked lowercase only matches lowercase — see "
+        "docs/MONI_PARITY.md); default uppercases pivot and documents first",
+    )
     p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
 
 
@@ -182,6 +189,7 @@ def cmd_index(args) -> int:
         kind="membership" if args.membership else "conservation",
         backend=args.ms_backend,
         ms_budget_bytes=args.ms_budget_mb << 20 if args.ms_budget_mb else None,
+        uppercase=not args.preserve_case,
         workdir=None if args.no_cache else args.output_dir,
         emit_compat=args.emit_compat,
         compat_prefix=args.prefix,
@@ -284,17 +292,20 @@ def cmd_extract(args) -> int:
     from memo_tpu.io.compat import write_extracted_bed
     from memo_tpu.query.engine import parse_region
 
+    record, qs, qe = parse_region(args.region)
     if args.index.endswith(".npz"):
         from memo_tpu.index.store import IntervalStore
 
         store = IntervalStore.load(args.index)
     else:
         # kind/n_docs are irrelevant to extraction; placeholders load compat.
+        # The record predicate is pushed into the reader (Parquet row-group
+        # pruning / BED stream filter) so one window never loads a multi-GB
+        # index — the tabix-indexed-random-access analog.
         from memo_tpu.io import compat
 
         reader = compat.read_parquet if args.index.endswith(".parquet") else compat.read_bed
-        store = reader(args.index, args.num_docs or 2, "conservation")
-    record, qs, qe = parse_region(args.region)
+        store = reader(args.index, args.num_docs or 2, "conservation", record=record)
     os.makedirs(args.output_dir, exist_ok=True)
     path = write_extracted_bed(store, record, qs, qe, args.output_dir)
     print(f"Output order MEM overlaps file: {path}")

@@ -122,9 +122,14 @@ def _native_overlaps(
     if lib is None:
         return None
     P, D = ms.shape
+    if ms.dtype.itemsize > 4 and ms.size and int(ms.max()) > np.iinfo(np.int32).max:
+        # MS values beyond int32 (records > ~2 Gbp) would silently truncate
+        # in the C pass; the numpy path below is exact at int64.
+        return None
     ms_c = np.ascontiguousarray(ms, np.int32)
-    # Exact bound: one overlap per MEM start; MEM starts = first row (D) +
-    # rule firings + sentinel row (D).
+    # Safe upper bound on emissions: rule firings between consecutive rows,
+    # plus D for the sentinel row and D of slack for the first row (the
+    # native pass emits nothing for row 0 — it only seeds prev_end).
     cap = int(np.count_nonzero(ms_c[:-1] <= ms_c[1:])) + 2 * D if P else 2 * D
     starts = np.empty(cap, np.int64)
     ends = np.empty(cap, np.int64)

@@ -41,22 +41,63 @@ def write_bed(store: IntervalStore, path_or_file: str | os.PathLike | IO[bytes])
             out.close()
 
 
-def write_parquet(store: IntervalStore, path: str | os.PathLike, codec: str = "ZSTD") -> None:
+def write_parquet(
+    store: IntervalStore,
+    path: str | os.PathLike,
+    codec: str = "ZSTD",
+    block_bytes: int = 500_000_000,
+    one_shot: bool = False,
+) -> None:
     """Write the reference Parquet schema: f0 utf8, f1/f2/f3 int64, ZSTD
-    (reference parquet_compress_bed.py:21-26)."""
+    (reference parquet_compress_bed.py:21-26).
+
+    Streams one row group per ~``block_bytes`` of BED-text-equivalent rows —
+    the reference's 500 MB CSV block streaming (parquet_compress_bed.py:16-39)
+    — so chromosome-scale indexes never materialize a whole Arrow table.
+    ``one_shot=True`` mirrors the reference's ``-a`` flag (compress_bed_all,
+    :42-46): a single row group.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    names = np.array(store.record_names, dtype=object)[store.rec_id]
-    table = pa.table(
-        {
-            "f0": pa.array(names, type=pa.utf8()),
-            "f1": pa.array(store.start, type=pa.int64()),
-            "f2": pa.array(store.end, type=pa.int64()),
-            "f3": pa.array(store.order.astype(np.int64), type=pa.int64()),
-        }
+    schema = pa.schema(
+        [("f0", pa.utf8()), ("f1", pa.int64()), ("f2", pa.int64()), ("f3", pa.int64())]
     )
-    pq.write_table(table, str(path), compression=codec)
+    M = store.num_intervals
+    name_arr = np.array(store.record_names, dtype=object)
+    # Rows per block sized like the reference's CSV blocks: estimate the
+    # BED-text bytes of one row (name + 3 ints + separators) from a sample.
+    if one_shot or M == 0:
+        rows_per_block = max(M, 1)
+    else:
+        sample = slice(0, min(M, 4096))
+        text_bytes = sum(
+            len(store.record_names[r]) + len(str(s)) + len(str(e)) + len(str(o)) + 4
+            for r, s, e, o in zip(
+                store.rec_id[sample],
+                store.start[sample],
+                store.end[sample],
+                store.order[sample],
+            )
+        )
+        avg = max(text_bytes / max(sample.stop, 1), 1.0)
+        rows_per_block = max(int(block_bytes / avg), 1)
+
+    with pq.ParquetWriter(str(path), schema, compression=codec) as writer:
+        for lo in range(0, max(M, 1), rows_per_block):
+            hi = min(lo + rows_per_block, M)
+            block = pa.table(
+                {
+                    "f0": pa.array(name_arr[store.rec_id[lo:hi]], type=pa.utf8()),
+                    "f1": pa.array(store.start[lo:hi], type=pa.int64()),
+                    "f2": pa.array(store.end[lo:hi], type=pa.int64()),
+                    "f3": pa.array(store.order[lo:hi].astype(np.int64), type=pa.int64()),
+                },
+                schema=schema,
+            )
+            writer.write_table(block)
+            if M == 0:
+                break
 
 
 def _store_from_rows(
@@ -91,11 +132,19 @@ def _store_from_rows(
     )
 
 
-def read_parquet(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalStore:
-    """Import a reference-produced Parquet index (schema f0..f3)."""
+def read_parquet(
+    path: str | os.PathLike, n_docs: int, kind: str, record: str | None = None
+) -> IntervalStore:
+    """Import a reference-produced Parquet index (schema f0..f3).
+
+    ``record`` pushes an f0 == record predicate into the Parquet reader
+    (row-group/page pruning) — the extract path's answer to the reference's
+    tabix indexed random access: a single-window extract from a multi-GB
+    index reads only that record's row groups."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(str(path))
+    filters = [("f0", "==", record)] if record is not None else None
+    t = pq.read_table(str(path), filters=filters)
     names = np.asarray(t.column("f0").to_pylist())
     f1 = np.asarray(t.column("f1"))
     f2 = np.asarray(t.column("f2"))
@@ -103,8 +152,11 @@ def read_parquet(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalSto
     return _store_from_rows(names, f1, f2, f3, n_docs, kind)
 
 
-def read_bed(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalStore:
-    """Import a reference-produced BED index."""
+def read_bed(
+    path: str | os.PathLike, n_docs: int, kind: str, record: str | None = None
+) -> IntervalStore:
+    """Import a reference-produced BED index. ``record`` filters rows while
+    streaming (the extract path never holds unrelated records in memory)."""
     names: list[str] = []
     f1: list[int] = []
     f2: list[int] = []
@@ -114,6 +166,8 @@ def read_bed(path: str | os.PathLike, n_docs: int, kind: str) -> IntervalStore:
             if not line.strip():
                 continue
             a, b, c, d = line.rstrip("\n").split("\t")
+            if record is not None and a != record:
+                continue
             names.append(a)
             f1.append(int(b))
             f2.append(int(c))
@@ -131,17 +185,23 @@ def extract_window(
 
     The reference pipes ``tabix idx.bed.gz chr:s-e`` (overlapping rows) into
     ``bedtools intersect -sorted -wa -f 1`` (keep rows 100% inside the query
-    window). That composition is exactly ``qs <= start and end <= qe``;
-    zero-length bookend rows (start == end, §SURVEY 2.3) are kept when they
-    fall inside the window. Returns (starts, ends, orders).
+    window). For positive-length rows that composition is exactly
+    ``qs <= start and end <= qe``. Zero-length bookend rows (start == end,
+    SURVEY §2.3): htslib requires ``rec_beg < reg_end``, so a ``[qe, qe)``
+    bookend is excluded here as tabix would; interior bookends are kept. A
+    ``[qs, qs)`` bookend is kept — bedtools' zero-length expansion makes the
+    reference's behavior at that edge ambiguous, so exact tabix|bedtools
+    parity is claimed only away from the window start. Returns
+    (starts, ends, orders).
     """
     r = store.record_index(record)
     lo0, hi0 = int(store.rec_offsets[r]), int(store.rec_offsets[r + 1])
     seg = store.start[lo0:hi0]
     lo = lo0 + int(np.searchsorted(seg, qs, side="left"))
     hi = lo0 + int(np.searchsorted(seg, qe, side="right"))
-    keep = store.end[lo:hi] <= qe
-    return store.start[lo:hi][keep], store.end[lo:hi][keep], store.order[lo:hi][keep]
+    s, e, o = store.start[lo:hi], store.end[lo:hi], store.order[lo:hi]
+    keep = (e <= qe) & ~((s == e) & (s == qe))
+    return s[keep], e[keep], o[keep]
 
 
 def write_extracted_bed(

@@ -47,7 +47,7 @@ def initialize(
     """
     import jax
 
-    if getattr(jax.distributed.global_state, "client", None) is not None:
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")

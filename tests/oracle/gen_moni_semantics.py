@@ -1,0 +1,204 @@
+#!/usr/bin/env python3
+"""Generate (or regenerate) the MONI `.lengths` semantics goldens.
+
+The reference delegates all matching-statistics compute to MONI
+(reference index.sh:69-76): for each non-pivot genome it builds
+``g.w_rc`` = seqtk-normalized records + reverse complements, appends a
+literal ``$`` to every sequence line, runs ``moni build`` / ``moni ms -p
+PIVOT``, and consumes the resulting ``.lengths`` file (FASTA-like: one
+header + one line of space-separated per-position match lengths per pivot
+record, verticalized at index.sh:79).
+
+MONI itself cannot be built in this environment (its source is not vendored
+in /root/reference — the reference Dockerfile:22-28 clones it from GitHub,
+and this environment has no network egress). This script therefore encodes
+MONI's *documented* semantics as executable goldens:
+
+  ms[p] = length of the longest prefix of PIVOT_RECORD[p:] that occurs as a
+          substring of the indexed text (doc records + RCs, '$'-terminated)
+
+with the parity-critical corner cases pinned explicitly:
+
+  * multi-record pivots: each pivot FASTA record is an independent query —
+    matches never continue across pivot record boundaries, and the
+    .lengths file carries one entry per record in input order;
+  * multi-record documents: the literal '$' terminators prevent matches
+    from spanning document records (or a record and its RC);
+  * reverse complements: the indexed text contains every record's RC
+    (samtools faidx -i, index.sh:64), so reverse-strand matches count;
+  * N / ambiguous bases: matching is byte-literal — 'N' matches 'N' and
+    nothing else;
+  * case: matching is byte-literal — the reference pipeline (seqtk seq -S,
+    samtools faidx -i, sed) never changes case, so soft-masked lowercase
+    text only matches lowercase.
+
+The expected lengths are computed here with a brute-force O(n*m) scan that
+shares no code with memo_tpu (tests/test_moni_semantics.py then checks every
+memo_tpu MS backend against the frozen bytes).
+
+Regenerating against REAL MONI: on a machine with the reference toolchain
+(build per /root/reference/Dockerfile:22-28, or any `moni` >= the author's
+fork), run
+
+    python tests/oracle/gen_moni_semantics.py --moni /path/to/moni
+
+and the goldens are rewritten from actual `moni build`/`moni ms` output
+bytes (the w_rc prep is reproduced exactly as index.sh:63-65 does it). Any
+divergence from the brute-force semantics above would then show up as a
+test failure — that is the point of keeping the generator checked in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+OUT_DIR = pathlib.Path(__file__).resolve().parents[1] / "data" / "moni_semantics"
+
+COMPLEMENT = str.maketrans("ACGTacgtNnRYKMrykm", "TGCAtgcaNnYRMKyrmk")
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(COMPLEMENT)[::-1]
+
+
+def parse_fasta(text: str) -> list[tuple[str, str]]:
+    records: list[tuple[str, str]] = []
+    name, chunks = None, []
+    for line in text.splitlines():
+        if line.startswith(">"):
+            if name is not None:
+                records.append((name, "".join(chunks)))
+            name, chunks = line[1:].split()[0], []
+        elif line.strip():
+            chunks.append(line.strip())
+    if name is not None:
+        records.append((name, "".join(chunks)))
+    return records
+
+
+def w_rc_units(doc_records: list[tuple[str, str]]) -> list[str]:
+    """The '$'-terminated text units of a .w_rc file (index.sh:63-65):
+    original records first, then every record's reverse complement."""
+    seqs = [s for _, s in doc_records]
+    return [s + "$" for s in seqs] + [revcomp(s) + "$" for s in seqs]
+
+
+def brute_ms(pivot: str, units: list[str]) -> list[int]:
+    """Longest prefix of pivot[p:] occurring in any single unit (the '$'
+    inside units never matches pivot text, so per-unit search == search of
+    the concatenated text)."""
+    m = len(pivot)
+    out = []
+    for p in range(m):
+        best = 0
+        for u in units:
+            while best < m - p and pivot[p : p + best + 1] in u:
+                best += 1
+        out.append(best)
+    return out
+
+
+def lengths_text(pivot_records: list[tuple[str, str]], units: list[str]) -> str:
+    """MONI .lengths file shape: '>name' + space-separated ints per record."""
+    parts = []
+    for name, seq in pivot_records:
+        parts.append(">" + name + "\n" + " ".join(map(str, brute_ms(seq, units))) + "\n")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------- fixtures
+# Sequences are original to this repo (not copied from the reference).
+
+CASES: dict[str, tuple[str, str]] = {
+    # Forward-strand matches of varying length, single records.
+    "basic": (
+        ">piv\nGATTACAGATTACACCGGT\n",
+        ">doc\nTTGATTACATT\n",
+    ),
+    # Pivot record 2 starts with the suffix of record 1's best match: if
+    # records were concatenated, ms at the end of record 1 would overshoot.
+    "multi_record_pivot": (
+        ">p1\nACGTACGT\n>p2\nACGTTTTT\n",
+        ">doc\nACGTACGTACGTTTTT\n",
+    ),
+    # The pivot contains doc_rec1+doc_rec2 glued together: matches must stop
+    # at the '$' between document records.
+    "multi_record_doc": (
+        ">piv\nAAAACCCCGGGG\n",
+        ">d1\nAAAACC\n>d2\nCCGGGG\n",
+    ),
+    # The pivot only matches the reverse complement of the document.
+    "rc_match": (
+        ">piv\nAAGGCCTTAGT\n",
+        ">doc\nACTAAGGCCTT\n",
+    ),
+    # N is byte-literal: pivot NN region matches the doc's NN run only.
+    "n_bases": (
+        ">piv\nACGNNACGT\n",
+        ">doc\nTTACGNNACTT\n",
+    ),
+    # Case is byte-literal: soft-masked doc matches only same-case pivot text.
+    "lowercase": (
+        ">piv\nACGTacgtACGT\n",
+        ">doc\nggACGTacGTtt\n",
+    ),
+}
+
+
+def write_goldens_bruteforce() -> None:
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    for name, (pivot_fa, doc_fa) in CASES.items():
+        d = OUT_DIR / name
+        d.mkdir(exist_ok=True)
+        (d / "pivot.fa").write_text(pivot_fa)
+        (d / "doc.fa").write_text(doc_fa)
+        golden = lengths_text(parse_fasta(pivot_fa), w_rc_units(parse_fasta(doc_fa)))
+        (d / "expected.lengths").write_text(golden)
+        print(f"{name}: wrote {len(golden)} golden bytes (brute force)")
+
+
+def write_goldens_moni(moni: str) -> None:
+    """Rewrite goldens from real `moni build` + `moni ms` output, preparing
+    the .w_rc exactly like reference index.sh:63-65."""
+    for name, (pivot_fa, doc_fa) in CASES.items():
+        d = OUT_DIR / name
+        with tempfile.TemporaryDirectory() as td:
+            tdp = pathlib.Path(td)
+            (tdp / "pivot.fa").write_text(pivot_fa)
+            recs = parse_fasta(doc_fa)
+            w_rc = "".join(
+                f">{n}\n{s}$\n" for n, s in recs
+            ) + "".join(f">{n}/rc\n{revcomp(s)}$\n" for n, s in recs)
+            (tdp / "doc.w_rc").write_text(w_rc)
+            subprocess.run(
+                [moni, "build", "-r", str(tdp / "doc.w_rc"), "-f", "-o", str(tdp / "doc.w_rc")],
+                check=True,
+            )
+            subprocess.run(
+                [moni, "ms", "-i", str(tdp / "doc.w_rc"), "-p", str(tdp / "pivot.fa"),
+                 "-o", str(tdp / "doc.w_rc")],
+                check=True,
+            )
+            golden = (tdp / "doc.w_rc.lengths").read_text()
+        (d / "expected.lengths").write_text(golden)
+        print(f"{name}: wrote {len(golden)} golden bytes (real MONI)")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--moni", help="path to a real `moni` binary; if given, goldens "
+                    "are regenerated from its actual output bytes")
+    args = ap.parse_args()
+    if args.moni:
+        write_goldens_moni(args.moni)
+    else:
+        write_goldens_bruteforce()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

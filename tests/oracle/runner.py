@@ -36,6 +36,38 @@ def _run(script: str, args: list[str], **kw) -> subprocess.CompletedProcess:
     )
 
 
+_PLOTNINE_STUB = pathlib.Path(__file__).resolve().parent / "plotnine_stub"
+
+
+def preprocess_data(cons_path: pathlib.Path, n_docs: int, n_bins: int) -> np.ndarray:
+    """Execute the reference's REAL preprocess_data (plot_conservation.py:46-65)
+    on a conservation text file, through the plotnine import stub (plotnine is
+    not installed; only inert plot-spec objects go through it — the pandas
+    binning math runs for real). Returns the melted dataframe as a float
+    array of (bin, order, value) rows, already filtered of order == n."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        str(_PLOTNINE_STUB) + os.pathsep + str(_STUBS) + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    env.setdefault("MPLBACKEND", "Agg")
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import plot_conservation as pc\n"
+        "df = pc.preprocess_data(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))\n"
+        "for b, o, v in df.itertuples(index=False):\n"
+        "    print(f'{b} {o} {v!r}')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(REFERENCE_SRC), str(cons_path), str(n_docs), str(n_bins)],
+        check=True,
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    rows = [line.split() for line in proc.stdout.splitlines() if line.strip()]
+    return np.array([[float(a), float(b), float(c)] for a, b, c in rows])
+
+
 def write_dap(ms_by_record: list[np.ndarray], path: pathlib.Path) -> None:
     """dap.txt rows: ``pos ms_g2 ms_g3 ...`` (reference index.sh:83)."""
     with open(path, "w") as out:

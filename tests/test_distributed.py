@@ -1,0 +1,67 @@
+"""Multi-process ``jax.distributed`` execution (SURVEY §4.4): two real OS
+processes, a localhost coordinator, the (dp=hosts, sp=chips) global mesh,
+one SPMD conservation batch — stitched output must equal the single-process
+engine bit-for-bit."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_query(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    worker = os.path.join(REPO, "tests", "dist_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    # Stitch every process's addressable shards back into the global result.
+    from tests.dist_common import K, build_fixture_store
+
+    store, windows, k = build_fixture_store()
+    W = len(windows)
+    L = windows[0][2] - windows[0][1]
+    got = np.full((W, L), -1, np.int64)
+    for pid in (0, 1):
+        with np.load(tmp_path / f"proc{pid}.npz") as z:
+            for key in z.files:
+                _, r0, c0 = key.split("_")
+                block = z[key]
+                got[
+                    int(r0) : int(r0) + block.shape[0],
+                    int(c0) : int(c0) + block.shape[1],
+                ] = block
+    assert (got >= 0).all(), "global output has unwritten holes"
+
+    from memo_tpu.query.engine import QueryEngine
+
+    eng = QueryEngine(store, backend="numpy")
+    want = np.stack([eng.conservation(r, qs, qe, K) for r, qs, qe in windows])
+    np.testing.assert_array_equal(got, want)

@@ -72,6 +72,57 @@ def test_parquet_roundtrip(tmp_path):
     assert np.array_equal(t.order, s.order)
 
 
+def test_parquet_streaming_blocks_equal_one_shot(tmp_path):
+    """Block-streamed Parquet (reference parquet_compress_bed.py:16-39) is
+    table-equal to the one-shot write (-a flag) and splits into row groups."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    s = _store()
+    blocked = tmp_path / "b.parquet"
+    oneshot = tmp_path / "a.parquet"
+    compat.write_parquet(s, blocked, block_bytes=64)  # ~4 rows per group
+    compat.write_parquet(s, oneshot, one_shot=True)
+    fb, fa = pq.ParquetFile(blocked), pq.ParquetFile(oneshot)
+    assert fb.metadata.num_row_groups > 1
+    assert fa.metadata.num_row_groups == 1
+    assert fb.read().equals(fa.read())
+    t = compat.read_parquet(blocked, n_docs=4, kind="conservation")
+    assert np.array_equal(t.start, s.start)
+    assert np.array_equal(t.end, s.end)
+
+
+def test_parquet_record_filter(tmp_path):
+    pq = pytest.importorskip("pyarrow.parquet")
+    s = _store()
+    p = tmp_path / "x.parquet"
+    compat.write_parquet(s, p)
+    rec = s.record_names[0]
+    t = compat.read_parquet(p, n_docs=4, kind="conservation", record=rec)
+    want = s.rec_id == 0
+    assert np.array_equal(t.start, s.start[want])
+    assert t.record_names == [rec]
+
+
+def test_extract_window_edge_bookends():
+    """tabix excludes [qe, qe) bookends (htslib rec_beg < reg_end); interior
+    and window-start bookends are kept (compat.extract_window docstring)."""
+    st = IntervalStore(
+        record_names=["c"],
+        record_lens=[10],
+        n_docs=3,
+        kind="conservation",
+        rec_id=np.zeros(5, np.int32),
+        start=np.array([2, 2, 4, 6, 6], np.int64),
+        end=np.array([2, 5, 4, 6, 8], np.int64),
+        order=np.array([1, 2, 1, 2, 1], np.int64),
+    )
+    s, e, o = compat.extract_window(st, "c", 2, 6)
+    # [6,6) bookend at qe excluded; [2,2) at qs kept; [4,4) interior kept;
+    # [6,8) starts inside but ends past qe -> excluded by -f 1 containment.
+    assert list(zip(s.tolist(), e.tolist(), o.tolist())) == [
+        (2, 2, 1), (2, 5, 2), (4, 4, 1)
+    ]
+
+
 def test_stats():
     s = _store()
     st = s.stats()

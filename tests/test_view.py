@@ -39,6 +39,73 @@ def test_bin_conservation_uneven_edges():
     np.testing.assert_allclose(got, want)
 
 
+@pytest.mark.oracle
+@pytest.mark.parametrize("n_bins", [3, 10, 33])
+def test_bin_conservation_vs_real_reference_preprocess(tmp_path, n_bins):
+    """Our binning vs the reference's ACTUAL preprocess_data (run as a
+    subprocess through the plotnine import stub — plot_conservation.py:46-65),
+    not a reimplementation."""
+    from tests.oracle import runner
+
+    if not runner.available():
+        pytest.skip("reference unavailable")
+    rng = np.random.default_rng(7)
+    n_docs = 6
+    values = rng.integers(0, n_docs + 1, 997)
+    cons = tmp_path / "cons.txt"
+    cons.write_text("\n".join(map(str, values.tolist())) + "\n")
+    ref_rows = runner.preprocess_data(cons, n_docs, n_bins)  # (bin, order, value)
+    got = bin_conservation(values, n_docs, n_bins)
+    # The reference melts to one row per (order 0..n, bin), then drops order n.
+    assert ref_rows.shape[0] == n_bins * n_docs
+    for b, o, v in ref_rows:
+        assert o != n_docs
+        np.testing.assert_allclose(got[int(b), int(o)], v, atol=1e-12)
+
+
+def test_figure_draws_exactly_the_binned_proportions():
+    """Structural render parity: the stacked bars in the produced figure carry
+    exactly the bin_conservation proportions for orders 0..n-1 (order n —
+    fully conserved — is not drawn, reference plot_conservation.py:65), with
+    the reference's #000000->#c6dbef gradient colors over limits (1, n-1)."""
+    rng = np.random.default_rng(3)
+    n_docs, n_bins = 5, 12
+    values = rng.integers(0, n_docs + 1, 600)
+    props = bin_conservation(values, n_docs, n_bins)
+    fig, ax = plot_conservation(values, n_docs, n_bins)
+    try:
+        drawn = {}  # (bin, rounded height, color) multiset per bin
+        per_bin = np.zeros((n_bins, n_docs))
+        from memo_tpu.view.plot import _gradient_color
+
+        for rect in ax.patches:
+            b = int(round(rect.get_x() + rect.get_width() / 2))
+            h = rect.get_height()
+            col = np.asarray(rect.get_facecolor()[:3])
+            # identify the order by its gradient color
+            dists = [
+                np.abs(col - _gradient_color(o, n_docs)).max() for o in range(n_docs)
+            ]
+            order = int(np.argmin(dists))
+            assert dists[order] < 1e-6
+            per_bin[b, order] += h
+        # Orders 0 and 1 share a color (the gradient clips to limits (1, n-1),
+        # reference plot_conservation.py:80-84), so compare them merged.
+        want = props[:, :n_docs].copy()
+        got01 = per_bin[:, 0] + per_bin[:, 1]
+        want01 = want[:, 0] + want[:, 1]
+        np.testing.assert_allclose(got01, want01, atol=1e-12)
+        np.testing.assert_allclose(per_bin[:, 2:], want[:, 2:], atol=1e-12)
+        # stack totals = 1 - proportion fully conserved
+        np.testing.assert_allclose(
+            per_bin.sum(axis=1), 1.0 - props[:, n_docs], atol=1e-12
+        )
+    finally:
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+
 def test_plot_figure_builds(tmp_path):
     rng = np.random.default_rng(1)
     values = rng.integers(0, 6, 500)
