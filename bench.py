@@ -197,6 +197,43 @@ def bench_large_store(rng, backend: str) -> dict:
     }
 
 
+def bench_wide_store(rng, backend: str) -> dict:
+    """Deeper-than-HPRC width: C=160 order columns pushes the kernel into the
+    C_pad=256 lane regime (the C<=128 configs never exercise it)."""
+    import jax
+
+    from memo_tpu.index.builder import store_from_ms
+    from memo_tpu.query.engine import QueryEngine
+
+    n_docs, pivot_len = 160, 1 << 19
+    ms = synth_ms(rng, pivot_len, n_docs - 1, K, gap=30)
+    store = store_from_ms([ms], ["chr1"], [pivot_len], n_docs, "conservation")
+    engine = QueryEngine(
+        store,
+        backend=backend,
+        chunk_positions=pivot_len,
+        max_intervals_per_chunk=1 << 25,
+        device_output=True,
+    )
+    jax.block_until_ready(engine.conservation("chr1", 0, pivot_len, K))
+    dt = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = engine.conservation("chr1", 0, pivot_len, K)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
+    sub = (1 << 16, (1 << 16) + (1 << 14))
+    got = np.asarray(engine.conservation("chr1", sub[0], sub[1], K))
+    want = reference_query_np(store, sub[0], sub[1], K)
+    return {
+        "conservation_mbp_s": round(pivot_len / dt / 1e6, 1),
+        "intervals": store.num_intervals,
+        "n_docs": n_docs,
+        "c_pad": 256,
+        "exact": bool(np.array_equal(got, want)),
+    }
+
+
 def bench_view(rng) -> dict:
     """View-stage timing (BASELINE 'binned view' config): 2M conservation
     values -> 500 bins -> PNG, the reference plot_conservation.py stack."""
@@ -312,6 +349,8 @@ def bench_stage_child(stage: str) -> int:
         print(json.dumps(bench_membership(rng, backend)))
     elif stage == "large":
         print(json.dumps(bench_large_store(rng, backend)))
+    elif stage == "wide":
+        print(json.dumps(bench_wide_store(rng, backend)))
     elif stage == "headline":
         print(json.dumps(bench_headline(rng, backend)))
     else:
@@ -499,6 +538,7 @@ def main() -> int:
                     "k_sweep_mbp_s": headline["k_sweep_mbp_s"],
                     "membership": _run_child("--stage-membership"),
                     "large_store": _run_child("--stage-large"),
+                    "wide_store": _run_child("--stage-wide"),
                     "view": bench_view(rng),
                     "scaling_virtual_8cpu": bench_scaling(),
                     "index_build": {**bench_index_build(rng), **bench_sa_build(rng)},

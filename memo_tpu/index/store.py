@@ -214,7 +214,10 @@ class QueryLayout:
             nondec = np.ones(store.num_intervals, bool)
             if store.num_intervals > 1:
                 nondec[1:] = e_by_col[1:] >= e_by_col[:-1]
-                nondec[col_offsets[1:-1]] = True  # segment starts exempt
+                # Segment starts are exempt; empty trailing segments have
+                # offset == M (nothing to exempt there).
+                seg_starts = col_offsets[1:-1]
+                nondec[seg_starts[seg_starts < store.num_intervals]] = True
             monotone = bool(nondec.all())
         else:  # foreign index with out-of-range orders: scan fallback only
             s_by_col = np.zeros(0, np.int64)

@@ -86,6 +86,22 @@ def test_pallas_membership_matches_numpy(k):
         np.testing.assert_array_equal(got, want, err_msg=f"{rec}:{qs}-{qe} k={k}")
 
 
+@pytest.mark.parametrize("n_docs", [129, 160, 257])
+def test_pallas_wide_pangenome_cpad_regimes(n_docs):
+    """C > 128 pushes the kernel into C_pad = 256/384 lanes (deeper-than-HPRC
+    pangenomes); outputs must stay bit-exact in every pad regime."""
+    rng = np.random.default_rng(n_docs)
+    store = _store(rng, lipschitz=True, n_records=1, n_docs=n_docs, rec_len=300)
+    pallas = QueryEngine(store, backend="pallas")
+    oracle = QueryEngine(store, backend="numpy")
+    for qs, qe, k in [(0, 300, 31), (77, 204, 3)]:
+        np.testing.assert_array_equal(
+            pallas.conservation("chr0", qs, qe, k),
+            oracle.conservation("chr0", qs, qe, k),
+            err_msg=f"C={n_docs} {qs}-{qe} k={k}",
+        )
+
+
 def test_pallas_chunked_equals_unchunked():
     rng = np.random.default_rng(5)
     store = _store(rng, lipschitz=True)
