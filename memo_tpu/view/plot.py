@@ -77,6 +77,9 @@ def plot_conservation(values: np.ndarray, n_docs: int, n_bins: int):
     ax.set_ylim(0, 1)
     ax.set_xlim(-0.5, n_bins - 0.5)
     ax.set_yticks(np.linspace(0, 1, 5), labels=["0", "0.25", "0.50", "0.75", "1"])
+    from matplotlib.ticker import MaxNLocator
+
+    ax.xaxis.set_major_locator(MaxNLocator(integer=True))  # bins are integers
     # Tufte-like theme: no grid, no panel, black axis lines
     # (plot_conservation.py:21-37).
     for side in ("top", "right"):
