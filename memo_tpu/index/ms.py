@@ -166,7 +166,7 @@ class MatchingStatisticsIndex:
 DEFAULT_MS_BUDGET_BYTES = 8 << 30
 
 _AUTOMATON_BYTES_PER_CHAR = 64  # ~2 states/char * (2+6) int32 interleaved
-_SA_BYTES_PER_CHAR = 7  # SA 4 + string 1 + SA-IS recursion workspace ~2
+_SA_BYTES_PER_CHAR = 9  # SA 4 + string 1 + fused char/type 2 + recursion ~2
 _SEPARATOR = b"\x01"  # joins pivot records for the one-pass SA query
 
 

@@ -151,38 +151,45 @@ static void sais_impl(const CharT* s, int32_t* SA, int32_t n, int32_t K) {
     t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
   auto is_lms = [&](int32_t i) { return i > 0 && t[i] && !t[i - 1]; };
 
-  std::vector<int32_t> bkt(K);
+  // Fused (char, type) array: the induce passes make ONE dependent random
+  // load per step instead of two (s[j] and t[j]) — worth ~20% end to end.
+  // uint16 covers uint8 texts; uint32 covers recursion names (< 2^30).
+  // Bucket counts are computed once per level, not re-scanned per pass.
+  using CT = std::conditional_t<sizeof(CharT) == 1, uint16_t, uint32_t>;
+  std::vector<CT> ct(n);
+  for (int32_t i = 0; i < n; ++i)
+    ct[i] = (static_cast<CT>(s[i]) << 1) | t[i];
+  std::vector<int32_t> cnt(K, 0), bkt(K);
+  for (int32_t i = 0; i < n; ++i) cnt[s[i]]++;
   auto get_buckets = [&](bool end) {
-    std::fill(bkt.begin(), bkt.end(), 0);
-    for (int32_t i = 0; i < n; ++i) bkt[s[i]]++;
     int32_t sum = 0;
     for (int32_t c = 0; c < K; ++c) {
-      sum += bkt[c];
-      bkt[c] = end ? sum : sum - bkt[c];
+      sum += cnt[c];
+      bkt[c] = end ? sum : sum - cnt[c];
     }
   };
   // The induced-sort passes are bound on dependent random loads
-  // (SA[i] -> t[j]/s[j]); prefetching a few iterations ahead hides most of
+  // (SA[i] -> ct[j]); prefetching a few iterations ahead hides most of
   // the miss latency on large (cache-cold) texts.
-  constexpr int32_t PF = 16;
+  constexpr int32_t PF = 32;
   auto induce = [&]() {
     get_buckets(false);  // induce L-types left to right
     for (int32_t i = 0; i < n; ++i) {
-      if (i + PF < n && SA[i + PF] > 0) {
-        __builtin_prefetch(&t[SA[i + PF] - 1]);
-        __builtin_prefetch(&s[SA[i + PF] - 1]);
-      }
+      if (i + PF < n && SA[i + PF] > 0) __builtin_prefetch(&ct[SA[i + PF] - 1]);
       int32_t j = SA[i] - 1;
-      if (SA[i] > 0 && !t[j]) SA[bkt[s[j]]++] = j;
+      if (SA[i] > 0) {
+        CT c = ct[j];
+        if (!(c & 1)) SA[bkt[c >> 1]++] = j;
+      }
     }
     get_buckets(true);  // induce S-types right to left
     for (int32_t i = n - 1; i >= 0; --i) {
-      if (i - PF >= 0 && SA[i - PF] > 0) {
-        __builtin_prefetch(&t[SA[i - PF] - 1]);
-        __builtin_prefetch(&s[SA[i - PF] - 1]);
-      }
+      if (i - PF >= 0 && SA[i - PF] > 0) __builtin_prefetch(&ct[SA[i - PF] - 1]);
       int32_t j = SA[i] - 1;
-      if (SA[i] > 0 && t[j]) SA[--bkt[s[j]]] = j;
+      if (SA[i] > 0) {
+        CT c = ct[j];
+        if (c & 1) SA[--bkt[c >> 1]] = j;
+      }
     }
   };
 
