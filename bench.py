@@ -294,12 +294,25 @@ def bench_scaling_child() -> int:
                 base = np.concatenate(res)
             else:
                 assert np.array_equal(base, np.concatenate(res)), (strategy, n_dev)
-            t0 = time.perf_counter()
-            res = sq.conservation(windows, K)
-            dt = time.perf_counter() - t0
-            rows[f"sp{n_dev}"] = round(pivot_len / dt / 1e6, 2)
-        eff = rows.get("sp8", 0.0) / (8 * rows["sp1"]) if rows.get("sp1") else 0.0
-        out[strategy] = {"mbp_s": rows, "efficiency_8dev_pct": round(100 * eff, 1)}
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = sq.conservation(windows, K)
+                best = min(best, time.perf_counter() - t0)
+            rows[f"sp{n_dev}"] = round(pivot_len / best / 1e6, 2)
+        # Efficiency is only meaningful where virtual devices have real cores
+        # under them: report it at the cores-matched mesh size; the larger
+        # meshes (oversubscribed) still prove compile/run/exactness.
+        cores = os.cpu_count() or 1
+        matched = max(d for d in (1, 2, 4, 8) if d <= cores and f"sp{d}" in rows)
+        eff = (
+            rows[f"sp{matched}"] / (matched * rows["sp1"]) if rows.get("sp1") else 0.0
+        )
+        out[strategy] = {
+            "mbp_s": rows,
+            "cores_matched_devices": matched,
+            "efficiency_cores_matched_pct": round(100 * eff, 1),
+        }
     out["exact_all_meshes"] = True  # asserted above
     print(json.dumps(out))
     return 0

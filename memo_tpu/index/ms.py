@@ -307,6 +307,15 @@ def document_ms(
         finally:
             del idx
 
+    if jobs > 1:
+        # Spread units over ~jobs groups even when everything fits one group:
+        # per-group work is (group_chars + pivot_chars), so J parallel groups
+        # beat one serial group whenever group_chars stays >= pivot_chars
+        # (the re-queried pivot caps the overhead at ~2x work for ~Jx wall).
+        # Groups can't split below a single unit (exactness: matches never
+        # span '$'-terminated units, so only whole-unit partitions are exact).
+        spread = max((total_chars + jobs - 1) // jobs, pivot_chars, 1 << 20)
+        group_max = min(group_max, spread)
     groups = partition_units(units, group_max)
     out = [np.zeros(len(r), np.int32) for r in pivot_records]
     if jobs > 1 and len(groups) > 1:
