@@ -59,17 +59,34 @@ class QueryEngine:
         self,
         store: IntervalStore,
         backend: str = "jax",
-        chunk_positions: int = 1 << 17,
-        max_intervals_per_chunk: int = 1 << 22,
+        chunk_positions: int | None = None,
+        max_intervals_per_chunk: int | None = None,
         device_output: bool = False,
     ):
         """``device_output=True`` keeps results on device (jax arrays, no
         host transfer) — for pipelines that feed them onward (binning, another
-        kernel) or benchmarks that time device throughput."""
+        kernel) or benchmarks that time device throughput.
+
+        Chunk defaults are device-aware: on a real TPU, big position chunks
+        (2M) and interval buckets (32M ~ 0.8 GB of event slices) amortize
+        per-dispatch latency and measure 5-10x faster at HPRC-scale stores
+        (bench.py large_store); hosts/CPU get small shapes for fast compiles
+        and hermetic tests.
+        """
         if store.kind not in ("conservation", "membership"):
             raise ValueError(f"bad store kind {store.kind!r}")
         self.store = store
         self.backend = backend
+        if chunk_positions is None or max_intervals_per_chunk is None:
+            on_tpu = False
+            if backend in ("jax", "pallas"):
+                import jax
+
+                on_tpu = jax.default_backend() == "tpu"
+            if chunk_positions is None:
+                chunk_positions = (1 << 21) if on_tpu else (1 << 17)
+            if max_intervals_per_chunk is None:
+                max_intervals_per_chunk = (1 << 25) if on_tpu else (1 << 22)
         self.chunk_positions = int(chunk_positions)
         self.max_intervals = int(max_intervals_per_chunk)
         self.device_output = bool(device_output) and backend != "numpy"
