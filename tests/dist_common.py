@@ -14,14 +14,20 @@ PIVOT_LEN = 1 << 10
 WIN = 1 << 8
 
 
-def build_fixture_store():
+def build_fixture_store(n_windows: int = PIVOT_LEN // WIN):
+    """``n_windows`` must be a multiple of the mesh's dp size (window batches
+    shard over dp); windows wrap around the pivot when more are asked for
+    than fit."""
     rng = np.random.default_rng(1234)
     ms = rng.integers(0, 30, (PIVOT_LEN, N_DOCS - 1)).astype(np.int32)
     # enforce the MS law ms[p] <= ms[p+1] + 1 so the store is genome-shaped
     idx = np.arange(PIVOT_LEN, dtype=np.int64)[:, None]
     ms = (np.minimum.accumulate((ms + idx)[::-1])[::-1] - idx).astype(np.int32)
     store = store_from_ms([ms], ["chr1"], [PIVOT_LEN], N_DOCS, "conservation")
-    windows = [("chr1", w, w + WIN) for w in range(0, PIVOT_LEN, WIN)]
+    slots = PIVOT_LEN // WIN
+    windows = [
+        ("chr1", (i % slots) * WIN, (i % slots) * WIN + WIN) for i in range(n_windows)
+    ]
     return store, windows, K
 
 

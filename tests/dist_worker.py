@@ -1,12 +1,12 @@
-"""Worker for the two-process ``jax.distributed`` CPU test (SURVEY §4.4).
+"""Worker for the multi-process ``jax.distributed`` CPU tests (SURVEY §4.4).
 
-Each process owns 2 virtual CPU devices; together they form the standard
+Each process owns 2 virtual CPU devices; N processes form the standard
 (dp=hosts, sp=local chips) global mesh from memo_tpu.parallel.distributed.
 The worker runs the SPMD conservation batch over its dp shard of windows and
 writes its addressable output shards (with global indices) for the parent
 test to stitch and compare against the single-process engine.
 
-Usage: python dist_worker.py PORT PROCESS_ID OUTDIR
+Usage: python dist_worker.py PORT PROCESS_ID NUM_PROCESSES STRATEGY OUTDIR
 """
 
 import os
@@ -14,7 +14,8 @@ import sys
 
 
 def main() -> int:
-    port, pid, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    port, pid, nprocs = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    strategy, outdir = sys.argv[4], sys.argv[5]
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -30,13 +31,13 @@ def main() -> int:
     from memo_tpu.parallel.sharded import conservation_batch
     from tests.dist_common import build_fixture_store, gather_windows
 
-    initialize(f"localhost:{port}", num_processes=2, process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
-    assert jax.device_count() == 4, jax.device_count()
+    initialize(f"localhost:{port}", num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.device_count() == 2 * nprocs, jax.device_count()
     mesh = make_global_mesh()
-    assert dict(mesh.shape) == {"dp": 2, "sp": 2}, dict(mesh.shape)
+    assert dict(mesh.shape) == {"dp": nprocs, "sp": 2}, dict(mesh.shape)
 
-    store, windows, k = build_fixture_store()
+    store, windows, k = build_fixture_store(n_windows=2 * nprocs)
     starts, ends, orders, qs, L = gather_windows(store, windows, k, mesh)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -54,13 +55,13 @@ def main() -> int:
         k,
         L=L,
         n_docs=store.n_docs,
-        strategy="position",
+        strategy=strategy,
     )
     shards = {}
     for shard in out.addressable_shards:
         r0 = shard.index[0].start or 0
-        c0 = shard.index[1].start or 0
-        shards[f"at_{r0}_{c0}"] = np.asarray(shard.data)
+        c0 = shard.index[1].start if len(shard.index) > 1 else 0
+        shards[f"at_{r0}_{c0 or 0}"] = np.asarray(shard.data)
     np.savez(os.path.join(outdir, f"proc{pid}.npz"), **shards)
     jax.distributed.shutdown()
     return 0

@@ -1,7 +1,9 @@
-"""Multi-process ``jax.distributed`` execution (SURVEY §4.4): two real OS
+"""Multi-process ``jax.distributed`` execution (SURVEY §4.4): real OS
 processes, a localhost coordinator, the (dp=hosts, sp=chips) global mesh,
 one SPMD conservation batch — stitched output must equal the single-process
-engine bit-for-bit."""
+engine bit-for-bit. Parametrized over process count (2-host and 4-host
+meshes) and both sharding strategies (position = no collectives;
+interval = psum)."""
 
 import os
 import socket
@@ -21,7 +23,11 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed_query(tmp_path):
+@pytest.mark.parametrize(
+    "nprocs,strategy",
+    [(2, "position"), (2, "interval"), (4, "position")],
+)
+def test_multi_process_distributed_query(tmp_path, nprocs, strategy):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -30,30 +36,32 @@ def test_two_process_distributed_query(tmp_path):
     worker = os.path.join(REPO, "tests", "dist_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+            [sys.executable, worker, str(port), str(pid), str(nprocs), strategy, str(tmp_path)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in (0, 1)
+        for pid in range(nprocs)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
     # Stitch every process's addressable shards back into the global result.
     from tests.dist_common import K, build_fixture_store
 
-    store, windows, k = build_fixture_store()
+    store, windows, k = build_fixture_store(n_windows=2 * nprocs)
     W = len(windows)
     L = windows[0][2] - windows[0][1]
     got = np.full((W, L), -1, np.int64)
-    for pid in (0, 1):
+    for pid in range(nprocs):
         with np.load(tmp_path / f"proc{pid}.npz") as z:
             for key in z.files:
                 _, r0, c0 = key.split("_")
                 block = z[key]
+                if block.ndim == 1:
+                    block = block[None, :]
                 got[
                     int(r0) : int(r0) + block.shape[0],
                     int(c0) : int(c0) + block.shape[1],
