@@ -244,6 +244,159 @@ def sa_matching_statistics(
     return cols
 
 
+def gsa_matching_statistics(
+    units: Sequence[FastaRecord],
+    colors: Sequence[int],
+    n_colors: int,
+    pivot_records: Sequence[FastaRecord],
+) -> list[list[np.ndarray]]:
+    """Exact MS of every pivot record against EVERY color in ONE
+    generalized-suffix-array pass (libms ms_gsa): the pivot is sorted once
+    per group instead of once per document. ``colors[u]`` tags unit u with
+    its document. Returns ``[n_colors][n_pivot_records]`` int32 arrays."""
+    import ctypes
+
+    from memo_tpu.native.build import build_error, load_libms
+
+    lib = load_libms()
+    if lib is None:
+        raise RuntimeError(f"libms unavailable for GSA backend: {build_error()}")
+    text = document_text(units, add_rc=False)
+    ends = np.cumsum([len(u) + 1 for u in units]).astype(np.int64)
+    cols = np.asarray(list(colors), np.int32)
+    pivot_cat = _SEPARATOR.join(r.seq.tobytes() for r in pivot_records)
+    m = len(pivot_cat)
+    out = np.zeros((n_colors, m), np.int32)
+    if m and text:
+        rc = lib.ms_gsa(
+            text,
+            len(text),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(units),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_colors,
+            pivot_cat,
+            m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == -1:
+            raise ValueError(
+                f"GSA group too large for int32 indexing ({len(text) + m} chars); "
+                "lower the MS budget so groups shrink"
+            )
+        if rc == -2:
+            raise ValueError("input contains reserved control bytes (0x00/0x01)")
+        if rc == -3:
+            raise ValueError("bad unit colors (need 0 <= color < n_colors <= 250)")
+        if rc != 0:
+            raise RuntimeError(f"ms_gsa failed with code {rc}")
+    result: list[list[np.ndarray]] = []
+    for c in range(n_colors):
+        row = out[c]
+        cols_c: list[np.ndarray] = []
+        off = 0
+        for r in pivot_records:
+            # Clamp to the record's remaining length: matches through the
+            # 0x01 joiners only overshoot past a record's end, never within.
+            piece = row[off : off + len(r)].copy()
+            np.minimum(piece, np.arange(len(r), 0, -1, dtype=np.int32), out=piece)
+            cols_c.append(piece)
+            off += len(r) + 1
+        result.append(cols_c)
+    return result
+
+
+#: GSA path peak bytes/char: SA 4 + string 1 + fused char/type 2 + recursion
+#: ~2 + per-char color 1 + per-row color 1 + neighbor array amortized.
+_GSA_BYTES_PER_CHAR = 11
+
+
+def pangenome_ms(
+    pivot_records: Sequence[FastaRecord],
+    documents: Sequence[Sequence[FastaRecord]],
+    budget_bytes: int | None = None,
+    jobs: int = 1,
+) -> list[list[np.ndarray]]:
+    """MS of every pivot record against every document, via RAM-budgeted
+    colored generalized-SA groups: all documents' units ('$'-terminated
+    records + RCs, color = document index) are partitioned in order into
+    groups, each group is ONE suffix array shared by every document inside
+    it, and per-document results max-merge across groups (exact — matches
+    never span '$' units; property-tested against the per-document SA path).
+    Compared with per-document suffix arrays this removes the pivot re-sort
+    per document (up to ~3x fewer SA-IS input chars at HPRC-like widths).
+
+    Measured trade-off: on small-cache hosts the per-char cost of one big
+    SA-IS grows enough (cache/TLB) to cancel the char savings — wall-clock
+    parity with the per-document path at 2-core/32MB-LLC scale. The builder
+    therefore keeps per-document SAs (which also match its per-document
+    cache granularity); this path is for wide-LLC hosts and as the
+    reference implementation of colored MS. Returns
+    ``[n_documents][n_pivot_records]``.
+
+    Source units are materialized in RAM; the budget governs per-group SA
+    memory (``jobs`` parallel groups multiply it).
+    """
+    budget = _ms_budget_bytes(budget_bytes)
+    pivot_chars = sum(len(r) + 1 for r in pivot_records)
+    group_max = max(
+        min(budget // _GSA_BYTES_PER_CHAR - pivot_chars, (1 << 31) - 16 - pivot_chars),
+        1 << 20,
+    )
+
+    tagged: list[tuple[FastaRecord, int]] = []
+    for j, doc in enumerate(documents):
+        for u in with_reverse_complements(doc):
+            tagged.append((u, j))
+    total_chars = sum(len(u) + 1 for u, _ in tagged)
+    if jobs > 1:
+        spread = max((total_chars + jobs - 1) // jobs, pivot_chars, 1 << 20)
+        group_max = min(group_max, spread)
+
+    # Greedy in-order unit partition (records of one document may split
+    # across groups; max-merge keeps that exact), capped at 250 distinct
+    # documents per group (the C side's color-byte limit).
+    groups: list[list[tuple[FastaRecord, int]]] = []
+    cur: list[tuple[FastaRecord, int]] = []
+    cur_chars = 0
+    for u, j in tagged:
+        chars = len(u) + 1
+        n_col = len({c for _, c in cur})
+        if cur and (cur_chars + chars > group_max or (j not in {c for _, c in cur} and n_col >= 250)):
+            groups.append(cur)
+            cur, cur_chars = [], 0
+        cur.append((u, j))
+        cur_chars += chars
+    if cur:
+        groups.append(cur)
+
+    out = [[np.zeros(len(r), np.int32) for r in pivot_records] for _ in documents]
+
+    def run_group(group: list[tuple[FastaRecord, int]]):
+        docs_here = sorted({j for _, j in group})
+        remap = {j: c for c, j in enumerate(docs_here)}
+        units = [u for u, _ in group]
+        colors = [remap[j] for _, j in group]
+        cols = gsa_matching_statistics(units, colors, len(docs_here), pivot_records)
+        return docs_here, cols
+
+    def merge(docs_here, cols):
+        for c, j in enumerate(docs_here):
+            for acc, col in zip(out[j], cols[c]):
+                np.maximum(acc, col, out=acc)
+
+    if jobs > 1 and len(groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            for docs_here, cols in pool.map(run_group, groups):
+                merge(docs_here, cols)
+    else:
+        for group in groups:
+            merge(*run_group(group))
+    return out
+
+
 def document_ms(
     pivot_records: Sequence[FastaRecord],
     doc_records: Sequence[FastaRecord],

@@ -91,6 +91,18 @@ def load_libms() -> ctypes.CDLL | None:
             ctypes.c_int64,  # m
             ctypes.POINTER(ctypes.c_int32),  # out [m]
         ]
+        lib.ms_gsa.restype = ctypes.c_int64
+        lib.ms_gsa.argtypes = [
+            ctypes.c_char_p,  # text (all units, '$'-terminated)
+            ctypes.c_int64,  # n
+            ctypes.POINTER(ctypes.c_int64),  # unit_ends [n_units]
+            ctypes.c_int64,  # n_units
+            ctypes.POINTER(ctypes.c_int32),  # unit_color [n_units]
+            ctypes.c_int32,  # n_colors
+            ctypes.c_char_p,  # pivot (records joined by 0x01)
+            ctypes.c_int64,  # m
+            ctypes.POINTER(ctypes.c_int32),  # out [n_colors * m]
+        ]
         lib.sais_u8.restype = ctypes.c_int32
         lib.sais_u8.argtypes = [
             ctypes.c_char_p,

@@ -343,6 +343,112 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
   return 0;
 }
 
+// Colored (generalized-SA) matching statistics: MS of `pivot` against EVERY
+// document of a group in ONE suffix-array pass over
+// all_units ++ 0x01 ++ pivot ++ 0x00 — instead of one SA per document that
+// re-sorts the pivot each time. `unit_ends` are cumulative end offsets of the
+// '$'-terminated units inside `text`; `unit_color[u]` maps unit u to its
+// document (0..n_colors-1; a document's records and RCs share its color).
+//
+// Per color, ms is the max lcp to the nearest same-color text suffix
+// above/below in SA order (nearest suffices: range-min LCP shrinks with
+// distance, and suffixes of other colors between them don't affect the min
+// to the NEAREST same-color one... they can only make intermediate rows'
+// lcp smaller, and lcp(p, u) depends on p and u alone). A per-SA-row color
+// table (built once, prefetched) makes each color's two scans purely
+// sequential; the PLCP carry argument of ms_sa holds per color unchanged —
+// h > 0 implies S[u] is not a terminator, so u+1 is in the same unit and
+// keeps the color.
+//
+// out layout: out[color * m + i]. Returns 0; -1 length overflow; -2 bad
+// bytes; -3 bad colors (need 0 <= color < n_colors <= 250).
+int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
+               int64_t n_units, const int32_t* unit_color, int32_t n_colors,
+               const uint8_t* pivot, int64_t m, int32_t* out) {
+  const int64_t N = n + m + 2;  // + separator + sentinel
+  if (N > INT32_MAX - 1) return -1;
+  if (n_colors < 1 || n_colors > 250) return -3;
+  if (n_units > 0 && unit_ends[n_units - 1] != n) return -3;
+  std::vector<uint8_t> S(static_cast<size_t>(N));
+  std::memcpy(S.data(), text, static_cast<size_t>(n));
+  S[n] = 0x01;
+  std::memcpy(S.data() + n + 1, pivot, static_cast<size_t>(m));
+  S[N - 1] = 0x00;
+  for (int64_t i = 0; i < n; ++i)
+    if (S[i] <= 0x01) return -2;
+  for (int64_t i = n + 1; i < N - 1; ++i)
+    if (S[i] == 0x00) return -2;
+
+  // Per-char color of text positions.
+  constexpr uint8_t kPivot = 0xFE;
+  std::vector<uint8_t> cc(static_cast<size_t>(n));
+  {
+    int64_t pos = 0;
+    for (int64_t u = 0; u < n_units; ++u) {
+      int32_t c = unit_color[u];
+      if (c < 0 || c >= n_colors) return -3;
+      for (; pos < unit_ends[u]; ++pos) cc[pos] = static_cast<uint8_t>(c);
+    }
+    if (pos != n) return -3;
+  }
+
+  std::vector<int32_t> SA(static_cast<size_t>(N));
+  sais_impl<uint8_t>(S.data(), SA.data(), static_cast<int32_t>(N), 256);
+
+  // One pass of prefetched random loads turns every later per-color scan
+  // into a sequential read: color (or pivot marker) of each SA row.
+  std::vector<uint8_t> col_of_row(static_cast<size_t>(N));
+  {
+    constexpr int64_t PF = 24;
+    for (int64_t r = 0; r < N; ++r) {
+      if (r + PF < N) {
+        int64_t q = SA[r + PF];
+        if (q < n) __builtin_prefetch(&cc[q]);
+      }
+      int64_t p = SA[r];
+      col_of_row[r] = p < n ? cc[p] : (p > n && p < N - 1 ? kPivot : 0xFF);
+    }
+  }
+
+  std::vector<int32_t> nbr(static_cast<size_t>(m));
+  auto scan = [&](bool above, uint8_t color, int32_t* out_c) {
+    std::fill(nbr.begin(), nbr.end(), -1);
+    int64_t last_text = -1;
+    const int64_t step = above ? 1 : -1;
+    for (int64_t r = above ? 0 : N - 1; r >= 0 && r < N; r += step) {
+      uint8_t c = col_of_row[r];
+      if (c == color) {
+        last_text = SA[r];
+      } else if (c == kPivot) {
+        nbr[SA[r] - n - 1] = static_cast<int32_t>(last_text);
+      }
+    }
+    int64_t h = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      if (i + 8 < m && nbr[i + 8] >= 0) __builtin_prefetch(&S[nbr[i + 8]]);
+      int64_t u = nbr[i];
+      if (u < 0) {
+        h = 0;
+        continue;
+      }
+      int64_t p = n + 1 + i;
+      while (S[p + h] == S[u + h]) ++h;  // 0x00 sentinel is unique: terminates
+      if (h > out_c[i]) out_c[i] = static_cast<int32_t>(h);
+      // Carry h-1 iff u+1 is still a same-color text suffix: h > 0 implies
+      // S[u] is not this unit's '$', so u+1 stays inside the unit (same
+      // color) — except at the very last text position, as in ms_sa.
+      if (u == n - 1) h = 0;
+      else if (h) --h;
+    }
+  };
+  std::fill(out, out + static_cast<size_t>(n_colors) * m, 0);
+  for (int32_t c = 0; c < n_colors; ++c) {
+    scan(true, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m);
+    scan(false, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m);
+  }
+  return 0;
+}
+
 // Build the automaton over reverse(text). Returns nullptr on alphabet
 // overflow, state-id (int32) overflow, or allocation failure. `max_states`
 // <= 0 means the int32 ceiling; smaller values are a test hook for the

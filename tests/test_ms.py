@@ -214,3 +214,38 @@ def test_sa_backend_through_build(tmp_path):
     assert np.array_equal(a.end, b.end)
     assert np.array_equal(a.order, b.order)
     assert np.array_equal(a.rec_id, b.rec_id)
+
+
+# --- colored generalized-SA path ------------------------------------------
+
+
+def test_pangenome_gsa_equals_per_document_sa():
+    """pangenome_ms (one colored SA per group, pivot sorted once) must equal
+    the per-document SA path bit-for-bit on random multi-record pangenomes,
+    across group partitions (budget floor) and thread counts."""
+    from memo_tpu.index.ms import document_ms, pangenome_ms
+    from memo_tpu.io.fasta import FastaRecord
+    from memo_tpu.native.build import load_libms
+
+    if load_libms() is None:
+        pytest.skip("libms unavailable")
+    rng = np.random.default_rng(99)
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(4):
+        pivot = [
+            FastaRecord(f"p{i}", lut[rng.integers(0, 5, int(rng.integers(5, 300)))])
+            for i in range(int(rng.integers(1, 3)))
+        ]
+        docs = [
+            [
+                FastaRecord(f"d{j}_{r}", lut[rng.integers(0, 5, int(rng.integers(3, 250)))])
+                for r in range(int(rng.integers(1, 3)))
+            ]
+            for j in range(int(rng.integers(1, 5)))
+        ]
+        want = [document_ms(pivot, d, backend="sa") for d in docs]
+        for kwargs in ({}, {"jobs": 3}, {"budget_bytes": 1}):
+            got = pangenome_ms(pivot, docs, **kwargs)
+            for j in range(len(docs)):
+                for i in range(len(pivot)):
+                    assert np.array_equal(got[j][i], want[j][i]), (trial, kwargs, j, i)

@@ -53,6 +53,23 @@ for trial in range(3):
 
     ms = rng.integers(0, 40, (int(rng.integers(50, 500)), 3)).astype(np.int32)
     mem_overlap_intervals(ms, ms.shape[0])  # C streaming overlap pass
+
+    # colored generalized-SA path
+    from memo_tpu.index.ms import pangenome_ms
+
+    docs = [
+        [FastaRecord(f"d{j}", np.frombuffer(bytes(lut[rng.integers(0, 4, 300)]), np.uint8))]
+        for j in range(3)
+    ]
+    pivr = [FastaRecord("p", np.frombuffer(piv[:500], np.uint8))]
+    got = pangenome_ms(pivr, docs)
+    for j, d in enumerate(docs):
+        w = naive_matching_statistics(
+            pivr[0].seq.tobytes(),
+            [d[0].seq.tobytes(), bytes(reversed(d[0].seq.tobytes().translate(
+                bytes.maketrans(b"ACGT", b"TGCA"))))],
+        )
+        assert np.array_equal(got[j][0], w), f"gsa vs oracle doc {j}"
 print("sanitized libms OK")
 """
 
