@@ -48,10 +48,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256  # positions per grid step
+TILE = 512  # positions per grid step
 EV_LANES = 512  # events per HBM row
-EV_ROWS = 8  # rows per DMA block — sublane tiling requires 8-aligned slices
+EV_ROWS = 16  # rows per DMA block — sublane tiling requires 8-aligned slices
 EV_CHUNK = EV_ROWS * EV_LANES  # events per DMA
+# TILE/EV_ROWS swept on the real chip (bench.py large_store, 75M intervals):
+# bigger tiles and DMA blocks amortize per-tile fixed costs; 512/16 measured
+# best (~480 Mbp/s) with 256/8 within tunnel noise. Event matmul flops are
+# NOT the bound at these shapes.
 
 
 def _round_up(x: int, m: int) -> int:
