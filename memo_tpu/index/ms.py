@@ -231,7 +231,9 @@ def sa_matching_statistics(
                 "lower the MS budget so groups shrink"
             )
         if rc == -2:
-            raise ValueError("input contains reserved control bytes (0x00/0x01)")
+            raise ValueError(
+                "input contains reserved bytes (0x00/0x01, or '$' in the pivot)"
+            )
         if rc != 0:
             raise RuntimeError(f"ms_sa failed with code {rc}")
     cols: list[np.ndarray] = []
@@ -285,7 +287,9 @@ def gsa_matching_statistics(
                 "lower the MS budget so groups shrink"
             )
         if rc == -2:
-            raise ValueError("input contains reserved control bytes (0x00/0x01)")
+            raise ValueError(
+                "input contains reserved bytes (0x00/0x01, or '$' in the pivot)"
+            )
         if rc == -3:
             raise ValueError("bad unit colors (need 0 <= color < n_colors <= 250)")
         if rc != 0:
@@ -359,14 +363,18 @@ def pangenome_ms(
     groups: list[list[tuple[FastaRecord, int]]] = []
     cur: list[tuple[FastaRecord, int]] = []
     cur_chars = 0
+    cur_colors: set[int] = set()  # incremental — the partition stays O(units)
     for u, j in tagged:
         chars = len(u) + 1
-        n_col = len({c for _, c in cur})
-        if cur and (cur_chars + chars > group_max or (j not in {c for _, c in cur} and n_col >= 250)):
+        if cur and (
+            cur_chars + chars > group_max
+            or (j not in cur_colors and len(cur_colors) >= 250)
+        ):
             groups.append(cur)
-            cur, cur_chars = [], 0
+            cur, cur_chars, cur_colors = [], 0, set()
         cur.append((u, j))
         cur_chars += chars
+        cur_colors.add(j)
     if cur:
         groups.append(cur)
 

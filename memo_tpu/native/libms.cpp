@@ -287,11 +287,14 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
   S[N - 1] = 0x00;
   // Text must be clean of both control bytes; the pivot may contain 0x01
   // (its own record separators — matches crossing them only overshoot past
-  // record ends, which the caller clamps) but never 0x00.
+  // record ends, which the caller clamps) but never 0x00, and never '$'
+  // (0x24): a literal '$' in the pivot would let LCP extension run through
+  // the text's unit terminators, silently inflating MS — '$'-freedom is the
+  // exactness precondition the per-record clamp relies on.
   for (int64_t i = 0; i < n; ++i)
     if (S[i] <= 0x01) return -2;
   for (int64_t i = n + 1; i < N - 1; ++i)
-    if (S[i] == 0x00) return -2;
+    if (S[i] == 0x00 || S[i] == 0x24) return -2;
 
   std::vector<int32_t> SA(static_cast<size_t>(N));
   sais_impl<uint8_t>(S.data(), SA.data(), static_cast<int32_t>(N), 256);
@@ -377,7 +380,7 @@ int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
   for (int64_t i = 0; i < n; ++i)
     if (S[i] <= 0x01) return -2;
   for (int64_t i = n + 1; i < N - 1; ++i)
-    if (S[i] == 0x00) return -2;
+    if (S[i] == 0x00 || S[i] == 0x24) return -2;  // no 0x00 / '$' in pivot
 
   // Per-char color of text positions.
   constexpr uint8_t kPivot = 0xFE;

@@ -103,8 +103,11 @@ class QueryEngine:
             pad = min(self.max_intervals, _next_pow2(max(store.num_intervals, 1)))
 
             def dev(a, fill):
-                return jnp.asarray(
-                    np.concatenate([a, np.full(pad, fill, a.dtype)]).astype(np.int32)
+                # Transfer the exact int32 array and pad on DEVICE: the host
+                # transient is n*4 bytes, not (n+pad)*8 — a 39M-interval store
+                # no longer doubles host memory per engine instance.
+                return jnp.concatenate(
+                    [jnp.asarray(a.astype(np.int32)), jnp.full((pad,), fill, jnp.int32)]
                 )
 
             self._d_start = dev(store.start, 0)
@@ -182,13 +185,13 @@ class QueryEngine:
             return self._query_chunk_pallas(record, qs, qe, k, membership, stats)
         lo, hi = self.store.window_bounds(record, qs, qe, k)
         count = hi - lo
-        stats.candidate_intervals += count
         L = qe - qs
         n = self.n_docs
 
         if self.backend == "numpy":
             from memo_tpu.ops import query_ops as Q
 
+            stats.candidate_intervals += count
             s = self.store.start[lo:hi]
             e = self.store.end[lo:hi]
             o = self.store.order[lo:hi]
@@ -199,14 +202,18 @@ class QueryEngine:
         M = min(_next_pow2(max(count, 1)), self.max_intervals)
         if count > M:
             # More candidates than the bucket cap: fall back to smaller
-            # position chunks (halving preserves exactness).
+            # position chunks (halving preserves exactness). Candidates are
+            # counted at dispatch points only (the recursion re-derives them).
             mid = (qs + qe) // 2
             if mid == qs:
-                return self._query_interval_pieces(record, qs, qe, k, membership, lo, hi)
+                return self._query_interval_pieces(
+                    record, qs, qe, k, membership, lo, hi, stats
+                )
             left = self._query_chunk(record, qs, mid, k, membership, stats)
             right = self._query_chunk(record, mid, qe, k, membership, stats)
             return self._cat(left, right)
 
+        stats.candidate_intervals += count
         return self._run_device_range(record, qs, k, membership, lo, M, L)
 
     def _run_device_range(
@@ -229,7 +236,15 @@ class QueryEngine:
         return out if self.device_output else np.asarray(out)
 
     def _query_interval_pieces(
-        self, record: str, qs: int, qe: int, k: int, membership: bool, lo: int, hi: int
+        self,
+        record: str,
+        qs: int,
+        qe: int,
+        k: int,
+        membership: bool,
+        lo: int,
+        hi: int,
+        stats: QueryStats,
     ):
         """Pathological fallback: more covering intervals on a single position
         than the bucket cap. Coverage is additive over interval subsets (each
@@ -240,6 +255,10 @@ class QueryEngine:
         M = self.max_intervals
         acc = None
         for piece_lo in range(lo, hi, M):
+            # Keep --stats honest on exactly the pathological queries where
+            # observability matters most: each piece is a real dispatch.
+            stats.candidate_intervals += min(piece_lo + M, hi) - piece_lo
+            stats.chunks += 1
             out = self._run_device_range(record, qs, k, membership, piece_lo, M, L)
             if acc is None:
                 acc = out
@@ -273,7 +292,6 @@ class QueryEngine:
         plo = rec_lo + int(np.searchsorted(seg_e, qs + k - 1, side="right"))
         phi = rec_lo + int(np.searchsorted(seg_e, qs + L + k - 1, side="left"))
         count = max(mhi - mlo, phi - plo)
-        stats.candidate_intervals += count
 
         M = min(_next_pow2(max(count, 1)), self.max_intervals)
         if count > M:
@@ -283,10 +301,13 @@ class QueryEngine:
                 # pieces via the dense-jax program (the kernel's dual event
                 # streams don't partition by interval subset).
                 lo, hi = st.window_bounds(record, qs, qe, k)
-                return self._query_interval_pieces(record, qs, qe, k, membership, lo, hi)
+                return self._query_interval_pieces(
+                    record, qs, qe, k, membership, lo, hi, stats
+                )
             left = self._query_chunk_pallas(record, qs, mid, k, membership, stats)
             right = self._query_chunk_pallas(record, mid, qe, k, membership, stats)
             return self._cat(left, right)
+        stats.candidate_intervals += count
 
         C_pad = max((n + 127) // 128 * 128, 128)
         prefix = np.zeros((1, C_pad), np.int32)

@@ -249,3 +249,16 @@ def test_pangenome_gsa_equals_per_document_sa():
             for j in range(len(docs)):
                 for i in range(len(pivot)):
                     assert np.array_equal(got[j][i], want[j][i]), (trial, kwargs, j, i)
+
+
+def test_dollar_in_pivot_rejected(native_available):
+    """A literal '$' in the pivot would let LCP extension cross unit
+    terminators ('$'-freedom is the exactness precondition); ms_sa/ms_gsa
+    must refuse it instead of silently inflating MS."""
+    doc = [_rec("d", "ACGTACGT")]
+    bad = [FastaRecord("p", np.frombuffer(b"AC$T", np.uint8).copy())]
+    text = msmod.document_text(doc)
+    with pytest.raises(ValueError, match="reserved"):
+        msmod.sa_matching_statistics(text, bad)
+    with pytest.raises(ValueError, match="reserved"):
+        msmod.gsa_matching_statistics(doc, [0], 1, bad)
