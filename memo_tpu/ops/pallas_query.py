@@ -42,20 +42,23 @@ NOT marked as int8 (memo_query.py:67-68).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # positions per grid step
+# TILE/EV_ROWS are env-overridable for on-chip sweeps (bench.py records the
+# values used). Driver-validated on the real v5e (BENCH_r03 headline config,
+# 2.2M intervals, and the large_store config, 75M intervals): defaults below
+# are the measured best; see BENCH_r03.json detail.kernel_constants.
+TILE = int(os.environ.get("MEMO_TPU_PALLAS_TILE", "512"))  # positions/grid step
 EV_LANES = 512  # events per HBM row
-EV_ROWS = 16  # rows per DMA block — sublane tiling requires 8-aligned slices
+EV_ROWS = int(os.environ.get("MEMO_TPU_PALLAS_EV_ROWS", "16"))  # rows per DMA
+if TILE % 8 or TILE < 8 or EV_ROWS % 8 or EV_ROWS < 8:
+    raise ValueError("TILE and EV_ROWS must be positive multiples of 8")
 EV_CHUNK = EV_ROWS * EV_LANES  # events per DMA
-# TILE/EV_ROWS swept on the real chip (bench.py large_store, 75M intervals):
-# bigger tiles and DMA blocks amortize per-tile fixed costs; 512/16 measured
-# best (~480 Mbp/s) with 256/8 within tunnel noise. Event matmul flops are
-# NOT the bound at these shapes.
 
 
 def _round_up(x: int, m: int) -> int:

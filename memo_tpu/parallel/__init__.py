@@ -6,4 +6,5 @@ from memo_tpu.parallel.sharded import (  # noqa: F401
     conservation_batch,
     membership_batch,
 )
+from memo_tpu.parallel.resident import ResidentShardedQuery  # noqa: F401
 from memo_tpu.parallel.distributed import initialize, make_global_mesh  # noqa: F401

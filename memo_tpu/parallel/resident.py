@@ -1,0 +1,198 @@
+"""Device-resident, coordinate-sharded interval store (SURVEY §7 flagship
+distribution design; BASELINE config 5: whole-chromosome index sharded by
+pivot coordinate across devices/hosts).
+
+The batched :class:`~memo_tpu.parallel.sharded.ShardedQuery` shards
+*computation*: it re-extracts candidate rows host-side per call and uploads
+padded ``[W, M]`` arrays every time. This module inverts that — the
+reference's own scale story turned inside out (reference memo_query.py:19-36
+does Parquet predicate pushdown precisely so the index is never fully
+materialized; here the index IS materialized, once, straight into sharded
+device HBM, and queries route to the shards):
+
+- **Placement (once):** the pivot coordinate axis is split into ``n_sp``
+  contiguous slabs of ``B`` positions. Shard d holds exactly the store rows
+  that can mark a position in its slab at any ``k <= k_max`` — a contiguous
+  run of the (record, start)-sorted store found by the same binary search the
+  single-device engine uses (store.window_bounds). Boundary-straddling
+  intervals land in BOTH neighboring shards and are clipped by the coverage
+  kernel (idempotent boolean fill — SURVEY §7's dedupe-free duplication).
+  Rows are padded to a shared static width and placed with one
+  ``jax.device_put`` under ``NamedSharding(P('sp', None))``: each device
+  keeps only its ~1/n_sp of the index resident in HBM.
+- **Query (per call):** one jitted ``shard_map`` program; shard d computes
+  the difference-array coverage of its own slab from its own resident rows
+  (``ops.query_ops.coverage_counts``) — no collectives at all for either
+  output (the k-1 shadow reach is already folded into the per-shard row
+  ranges, so slabs are halo-free) — and the outputs concatenate along
+  ``sp``. Any window [qs, qe) is a host-side slice of the slab outputs.
+
+Exactness: an interval (start, end, c) marks position p iff
+``end - (k-1) <= p < start`` (reference memo_query.py:57-63). Stored overlap
+intervals satisfy ``end >= start`` (bookends allowed, dap_to_bed.py:97), so
+every marked position lies in ``[start - (k-1), start)`` — shard d's row
+range ``window_bounds(d*B, (d+1)*B, k_max)`` covers all markers of its slab
+for any k <= k_max, and rows outside a slab clip to no-ops
+(ops/query_ops.py). Bit-exactness vs the single-device engine is pinned by
+tests/test_resident.py on the virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from memo_tpu.ops.query_ops import (
+    conservation_from_marks,
+    coverage_counts,
+    membership_from_marks,
+)
+from memo_tpu.parallel.sharded import make_mesh
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.lru_cache(maxsize=64)
+def _resident_fn(mesh: Mesh, B: int, M: int, C: int, n_docs: int, membership: bool):
+    """One compiled SPMD program per (mesh, slab, rows, mode) shape.
+
+    Global inputs: starts/ends/orders int32[n_sp, M] sharded over ``sp``,
+    k int32. Global output: int8[n_sp*B, C] or int32[n_sp*B] — shard d's
+    rows produce slab d's positions, concatenated by the out_spec.
+    """
+
+    def local(starts, ends, orders, k):
+        base = jax.lax.axis_index("sp") * B
+        counts = coverage_counts(starts[0], ends[0], orders[0], base, k, L=B, C=C)
+        marks = counts > 0
+        if membership:
+            return membership_from_marks(marks)[None]
+        return conservation_from_marks(marks, n_docs)[None]
+
+    in_specs = (P("sp", None), P("sp", None), P("sp", None), P())
+    out_specs = P("sp", None, None) if membership else P("sp", None)
+
+    def outer(starts, ends, orders, k):
+        out = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)(
+            starts, ends, orders, k
+        )
+        return out.reshape((-1,) + out.shape[2:])
+
+    return jax.jit(outer)
+
+
+class ResidentShardedQuery:
+    """Arbitrary-k queries against a coordinate-sharded HBM-resident store.
+
+    One instance serves one pivot record (the whole-chromosome case; build
+    one per record for multi-record pivots). The store arrays are placed on
+    the mesh ONCE at construction; every query is a single SPMD dispatch with
+    zero host->device index traffic.
+    """
+
+    def __init__(
+        self,
+        store,
+        mesh: Mesh | None = None,
+        record: str | None = None,
+        k_max: int = 1024,
+        device_output: bool = False,
+    ):
+        if store.kind not in ("conservation", "membership"):
+            raise ValueError(f"bad store kind {store.kind!r}")
+        if record is None:
+            if store.num_records != 1:
+                raise ValueError(
+                    f"store has {store.num_records} records; pass record="
+                )
+            record = store.record_names[0]
+        self.store = store
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.record = record
+        self.k_max = int(k_max)
+        self.n_docs = store.n_docs
+        self.device_output = bool(device_output)
+
+        r = store.record_index(record)
+        self.record_len = int(store.record_lens[r])
+        rec_end = int(store.rec_offsets[r + 1])
+        n_sp = self.mesh.shape["sp"]
+        self.B = _round_up(max(self.record_len, 1), n_sp) // n_sp
+
+        # Defensive: the exactness argument (module docstring) needs
+        # end >= start, which every MEM-overlap store satisfies.
+        seg = slice(int(store.rec_offsets[r]), rec_end)
+        if seg.stop > seg.start and int((store.end[seg] - store.start[seg]).min()) < 0:
+            raise ValueError("store has end < start rows; cannot shard by coordinate")
+
+        bounds = []
+        for d in range(n_sp):
+            lo, hi = store.window_bounds(
+                record, d * self.B, min((d + 1) * self.B, self.record_len), self.k_max
+            )
+            bounds.append((lo, min(hi, rec_end)))
+        M = _round_up(max(max(hi - lo for lo, hi in bounds), 1), 8)
+        starts = np.zeros((n_sp, M), np.int32)
+        ends = np.zeros((n_sp, M), np.int32)
+        orders = np.full((n_sp, M), -1, np.int32)  # order<0 rows are dropped
+        for d, (lo, hi) in enumerate(bounds):
+            m = hi - lo
+            starts[d, :m] = store.start[lo:hi]
+            ends[d, :m] = store.end[lo:hi]
+            orders[d, :m] = store.order[lo:hi]
+        self.rows_per_shard = M
+        sh = NamedSharding(self.mesh, P("sp", None))
+        self._d_start = jax.device_put(starts, sh)
+        self._d_end = jax.device_put(ends, sh)
+        self._d_order = jax.device_put(orders, sh)
+
+    def stats(self) -> dict:
+        n_sp = self.mesh.shape["sp"]
+        return {
+            "record": self.record,
+            "record_len": self.record_len,
+            "shards": n_sp,
+            "slab_positions": self.B,
+            "rows_per_shard": self.rows_per_shard,
+            "resident_bytes_per_shard": self.rows_per_shard * 12,
+            "k_max": self.k_max,
+        }
+
+    # ------------------------------------------------------------------ public
+    def conservation_full(self, k: int):
+        """int32[record_len] conservation of the whole record (device array,
+        sharded over sp) — one SPMD dispatch."""
+        return self._full(k, membership=False)[: self.record_len]
+
+    def membership_full(self, k: int):
+        return self._full(k, membership=True)[: self.record_len]
+
+    def conservation(self, qs: int, qe: int, k: int) -> np.ndarray:
+        out = self.conservation_full(k)[qs:qe]
+        return out if self.device_output else np.asarray(out)
+
+    def membership(self, qs: int, qe: int, k: int) -> np.ndarray:
+        out = self.membership_full(k)[qs:qe]
+        return out if self.device_output else np.asarray(out)
+
+    def conservation_windows(self, windows, k: int) -> list[np.ndarray]:
+        """Batched windows served from ONE full-record dispatch per k —
+        replaces per-window host gathers for dense window batches."""
+        full = self.conservation_full(k)
+        outs = [full[qs:qe] for qs, qe in windows]
+        return outs if self.device_output else [np.asarray(o) for o in outs]
+
+    # ---------------------------------------------------------------- internals
+    def _full(self, k: int, membership: bool):
+        if not 1 <= k <= self.k_max:
+            raise ValueError(f"k={k} outside this store's placement (k_max={self.k_max})")
+        fn = _resident_fn(
+            self.mesh, self.B, self.rows_per_shard, self.n_docs, self.n_docs, membership
+        )
+        return fn(self._d_start, self._d_end, self._d_order, jnp.int32(k))

@@ -1,16 +1,18 @@
 #!/usr/bin/env python3
-"""Chromosome-scale end-to-end artifact run (BASELINE 'whole-chromosome
-index' config): synthesize a 128 Mbp pivot chromosome + 4 documents at ~1%
-divergence as real FASTA files, run the FULL index pipeline
-(memo_tpu.index.builder.build_index — partitioned SA-IS matching statistics,
-vectorized order-MEM overlap extraction, sorted interval store), then time
-conservation queries on the default device. Writes the JSON artifact to
-stdout; run from the repo root:
+"""Chromosome/HPRC-scale end-to-end artifact runs: synthesize a pivot
+chromosome + (n_docs-1) documents at ~1% divergence as real FASTA files, run
+the FULL index pipeline (memo_tpu.index.builder.build_index — partitioned
+SA-IS matching statistics, vectorized order-MEM overlap extraction, sorted
+interval store), then time conservation queries on the default device plus
+the text-format and view-binning stages. Writes the JSON artifact to stdout;
+run from the repo root:
 
-    python tests/oracle/run_scale_e2e.py [pivot_mbp] > SCALE_e2e.json
+    python tests/oracle/run_scale_e2e.py [pivot_mbp] [n_docs] > SCALE_e2e.json
 
-Memory: MS groups are RAM-budgeted (document_ms); the 2-core dev VM finishes
-a 128 Mbp x 4-document build in ~45 min wall.
+Two BASELINE.md configs:
+- whole-chromosome: pivot_mbp=128 n_docs=5 (~45 min on the 2-core dev VM)
+- HPRC HLA-like width: pivot_mbp=5 n_docs=90 — exercises order-sort at
+  C=89 and the kernel's C_pad=128 boundary on BUILT (not synthetic) data.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def write_genome(path: str, name: str, seq_codes: np.ndarray, lut: np.ndarray) -
 
 def main() -> int:
     pivot_mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    n_docs_total = 5  # pivot + 4
+    n_docs_total = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     P = pivot_mbp * 1000 * 1000
     rng = np.random.default_rng(20260820)
     lut = np.frombuffer(b"ACGT", np.uint8)
@@ -98,6 +100,26 @@ def main() -> int:
     want = QueryEngine(store, backend="numpy").conservation(
         "chr1", sub_qs, sub_qs + (1 << 16), k
     )
+
+    # Text formatting + binned view over one full window (the reference's
+    # print_res and plot_conservation stages, BASELINE "binned view" config).
+    from memo_tpu.query.output import format_conservation
+    from memo_tpu.view.plot import save_conservation_plot
+
+    full = np.asarray(outs[0])
+    t0 = time.perf_counter()
+    cons_bytes = format_conservation(full)
+    fmt_s = time.perf_counter() - t0
+    with tempfile.TemporaryDirectory() as td2:
+        cpath = os.path.join(td2, "cons.txt")
+        with open(cpath, "wb") as fh:
+            fh.write(cons_bytes)
+        t0 = time.perf_counter()
+        save_conservation_plot(
+            cpath, os.path.join(td2, "v.png"), n_docs_total, 500, 100
+        )
+        view_s = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -115,6 +137,8 @@ def main() -> int:
                 "query_device": jax.devices()[0].platform,
                 "query_k31_mbp_s": round(q_mbp_s, 1),
                 "query_exact_vs_numpy": bool(np.array_equal(got, want)),
+                "format_mbp_s": round(win / fmt_s / 1e6, 1),
+                "view_500bins_s": round(view_s, 2),
                 "wall_s": round(time.perf_counter() - t_all, 1),
                 "host": f"{os.cpu_count()}-core dev VM + tunneled TPU v5e",
             },

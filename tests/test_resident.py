@@ -1,0 +1,122 @@
+"""Device-resident coordinate-sharded store == single-device engine,
+bit-exact on the 8-device virtual CPU mesh (SURVEY §7 flagship distribution
+design: the index lives sharded in device memory, placed once; queries route
+to the shards with zero host->device index traffic)."""
+
+import jax
+import numpy as np
+import pytest
+
+from memo_tpu.index.builder import store_from_ms
+from memo_tpu.parallel import ResidentShardedQuery, make_mesh
+from memo_tpu.query.engine import QueryEngine
+
+
+def _store(rng, n_docs=5, rec_len=400, kind="conservation"):
+    ms = [rng.integers(0, 40, size=(rec_len, n_docs - 1)).astype(np.int32)]
+    return store_from_ms(ms, ["chr0"], [rec_len], n_docs, kind)
+
+
+@pytest.fixture(scope="module")
+def store():
+    return _store(np.random.default_rng(7))
+
+
+@pytest.fixture(scope="module")
+def memb_store():
+    return _store(np.random.default_rng(8), kind="membership")
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (1, 1), (1, 3)])
+@pytest.mark.parametrize("k", [1, 3, 31, 101])
+def test_resident_conservation_matches_engine(store, dp, sp, k):
+    mesh = make_mesh(dp=dp, sp=sp, devices=jax.devices()[: dp * sp])
+    rq = ResidentShardedQuery(store, mesh, k_max=128)
+    oracle = QueryEngine(store, backend="numpy")
+    for qs, qe in [(0, 400), (37, 229), (399, 400), (0, 1)]:
+        got = rq.conservation(qs, qe, k)
+        want = oracle.conservation("chr0", qs, qe, k)
+        np.testing.assert_array_equal(got, want, err_msg=f"{dp}x{sp} k={k} {qs}-{qe}")
+
+
+@pytest.mark.parametrize("k", [1, 4, 31])
+def test_resident_membership_matches_engine(memb_store, k):
+    mesh = make_mesh(dp=1, sp=8)
+    rq = ResidentShardedQuery(memb_store, mesh, k_max=64)
+    oracle = QueryEngine(memb_store, backend="numpy")
+    got = rq.membership(3, 391, k)
+    np.testing.assert_array_equal(got, oracle.membership("chr0", 3, 391, k))
+
+
+def test_resident_store_is_sharded_once(store):
+    """The placement is sharded over sp and reused across queries/k."""
+    mesh = make_mesh(dp=1, sp=8)
+    rq = ResidentShardedQuery(store, mesh, k_max=64)
+    # Each device holds exactly one row-block of the [n_sp, M] arrays.
+    shard_devs = {s.device for s in rq._d_start.addressable_shards}
+    assert len(shard_devs) == 8
+    assert rq._d_start.sharding.spec == ("sp", None)
+    before = rq._d_start
+    rq.conservation(0, 400, 5)
+    rq.conservation(0, 400, 31)
+    assert rq._d_start is before  # same placed array; no re-upload per query
+
+
+def test_resident_windows_batch(store):
+    mesh = make_mesh(dp=1, sp=4, devices=jax.devices()[:4])
+    rq = ResidentShardedQuery(store, mesh, k_max=64)
+    oracle = QueryEngine(store, backend="numpy")
+    windows = [(0, 100), (50, 399), (200, 201)]
+    outs = rq.conservation_windows(windows, 9)
+    for (qs, qe), got in zip(windows, outs):
+        np.testing.assert_array_equal(got, oracle.conservation("chr0", qs, qe, 9))
+
+
+def test_resident_k_above_kmax_refused(store):
+    rq = ResidentShardedQuery(store, make_mesh(dp=1, sp=2, devices=jax.devices()[:2]), k_max=16)
+    with pytest.raises(ValueError, match="k_max"):
+        rq.conservation(0, 10, 17)
+
+
+def test_resident_multirecord_requires_record():
+    rng = np.random.default_rng(3)
+    ms = [rng.integers(0, 9, size=(64, 3)).astype(np.int32) for _ in range(2)]
+    st = store_from_ms(ms, ["a", "b"], [64, 64], 4, "conservation")
+    with pytest.raises(ValueError, match="record"):
+        ResidentShardedQuery(st, make_mesh(dp=1, sp=2, devices=jax.devices()[:2]))
+    rq = ResidentShardedQuery(
+        st, make_mesh(dp=1, sp=2, devices=jax.devices()[:2]), record="b", k_max=32
+    )
+    oracle = QueryEngine(st, backend="numpy")
+    np.testing.assert_array_equal(
+        rq.conservation(5, 60, 7), oracle.conservation("b", 5, 60, 7)
+    )
+
+
+def test_resident_dense_random_intervals():
+    """Adversarial geometry: heavy overlap, bookends, spans across every slab
+    boundary of the mesh."""
+    from memo_tpu.index.store import IntervalStore
+
+    rng = np.random.default_rng(11)
+    L, n_iv, n = 257, 800, 6  # L not divisible by sp: exercises slab padding
+    starts = np.sort(rng.integers(0, L + 3, n_iv)).astype(np.int64)
+    ends = starts + rng.integers(0, 120, n_iv)
+    orders = rng.integers(1, n, n_iv).astype(np.int64)
+    st = IntervalStore(
+        record_names=["c"],
+        record_lens=[L],
+        n_docs=n,
+        kind="conservation",
+        rec_id=np.zeros(n_iv, np.int32),
+        start=starts,
+        end=ends,
+        order=orders,
+    )
+    mesh = make_mesh(dp=1, sp=8)
+    rq = ResidentShardedQuery(st, mesh, k_max=256)
+    oracle = QueryEngine(st, backend="numpy")
+    for k in (1, 2, 31, 120, 256):
+        np.testing.assert_array_equal(
+            rq.conservation(0, L, k), oracle.conservation("c", 0, L, k), err_msg=f"k={k}"
+        )
