@@ -246,16 +246,73 @@ def sa_matching_statistics(
     return cols
 
 
+def _rc_start_ms(ms_rc: np.ndarray) -> np.ndarray:
+    """Convert start-MS of RC(P) vs text T into start-MS of P vs RC(T).
+
+    Substring-ness commutes with reverse complement: ``x ⊆ RC(T)`` iff
+    ``RC(x) ⊆ T`` (the byte complement table is an involution — guarded by
+    :func:`_rc_exact` for the one IUPAC exception, U). With m = len(P) and
+    ``msR[q]`` = longest prefix of RC(P)[q:] in T, the longest match of P
+    ENDING at position e (exclusive) against RC(T) is ``msE[e] = msR[m-e]``.
+    The matching-statistics law msR[q+1] >= msR[q]-1 makes
+    ``f(e) = e - msE[e]`` nondecreasing, so the start-MS
+
+        out[p] = max{ l : P[p:p+l] ⊆ RC(T) } = max{ e : f(e) <= p } - p
+
+    falls out of one vectorized searchsorted (f(p) <= p guarantees
+    out[p] >= 0). This is what lets the SA/GSA paths index the FORWARD text
+    only and query P and RC(P) instead — halving text chars, the win
+    compounding across documents in colored-GSA groups."""
+    m = ms_rc.shape[0]
+    msE = np.empty(m + 1, np.int64)
+    msE[0] = 0
+    msE[1:] = ms_rc[::-1]
+    f = np.arange(m + 1, dtype=np.int64) - msE  # nondecreasing
+    e_max = np.searchsorted(f, np.arange(m, dtype=np.int64), side="right") - 1
+    return (e_max - np.arange(m, dtype=np.int64)).astype(np.int32)
+
+
+def _rc_exact(*byte_arrays) -> bool:
+    """True iff the reverse-complement byte table is an involution on every
+    byte present — always, except for 'U'/'u' (complement A, whose complement
+    is T != U). Inputs containing U fall back to the RC-text layout."""
+    for a in byte_arrays:
+        arr = np.frombuffer(a, np.uint8) if isinstance(a, (bytes, bytearray)) else a
+        if arr.size and (np.any(arr == ord("U")) or np.any(arr == ord("u"))):
+            return False
+    return True
+
+
+def sa_matching_statistics_fwd(
+    fwd_text: bytes, pivot_records: Sequence[FastaRecord]
+) -> list[np.ndarray]:
+    """Exact MS of every pivot record against ``fwd_text`` AND its per-unit
+    reverse complements, from ONE suffix array over the FORWARD text only:
+    the pivot is queried twice (P and RC(P)) and the RC half is converted
+    with :func:`_rc_start_ms`. Equivalent to :func:`sa_matching_statistics`
+    over text+RC at half the text chars. Caller must ensure
+    ``_rc_exact(fwd_text, *pivots)`` (no 'U' bytes)."""
+    from memo_tpu.io.fasta import reverse_complement
+
+    both = list(pivot_records) + [reverse_complement(r) for r in pivot_records]
+    cols = sa_matching_statistics(fwd_text, both)
+    n = len(pivot_records)
+    return [np.maximum(cols[i], _rc_start_ms(cols[n + i])) for i in range(n)]
+
+
 def gsa_matching_statistics(
     units: Sequence[FastaRecord],
     colors: Sequence[int],
     n_colors: int,
     pivot_records: Sequence[FastaRecord],
+    scan_threads: int = 1,
 ) -> list[list[np.ndarray]]:
     """Exact MS of every pivot record against EVERY color in ONE
     generalized-suffix-array pass (libms ms_gsa): the pivot is sorted once
     per group instead of once per document. ``colors[u]`` tags unit u with
-    its document. Returns ``[n_colors][n_pivot_records]`` int32 arrays."""
+    its document. ``scan_threads`` parallelizes the per-color scan pairs in
+    the C side (they are independent). Returns ``[n_colors][n_pivot_records]``
+    int32 arrays."""
     import ctypes
 
     from memo_tpu.native.build import build_error, load_libms
@@ -270,7 +327,7 @@ def gsa_matching_statistics(
     m = len(pivot_cat)
     out = np.zeros((n_colors, m), np.int32)
     if m and text:
-        rc = lib.ms_gsa(
+        rc = lib.ms_gsa_mt(
             text,
             len(text),
             ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -280,6 +337,7 @@ def gsa_matching_statistics(
             pivot_cat,
             m,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max(int(scan_threads), 1),
         )
         if rc == -1:
             raise ValueError(
@@ -320,29 +378,42 @@ def pangenome_ms(
     documents: Sequence[Sequence[FastaRecord]],
     budget_bytes: int | None = None,
     jobs: int = 1,
+    fwd_only: bool | None = None,
 ) -> list[list[np.ndarray]]:
     """MS of every pivot record against every document, via RAM-budgeted
     colored generalized-SA groups: all documents' units ('$'-terminated
-    records + RCs, color = document index) are partitioned in order into
-    groups, each group is ONE suffix array shared by every document inside
-    it, and per-document results max-merge across groups (exact — matches
-    never span '$' units; property-tested against the per-document SA path).
-    Compared with per-document suffix arrays this removes the pivot re-sort
-    per document (up to ~3x fewer SA-IS input chars at HPRC-like widths).
+    records, color = document index) are partitioned in order into groups,
+    each group is ONE suffix array shared by every document inside it, and
+    per-document results max-merge across groups (exact — matches never span
+    '$' units; property-tested against the per-document SA path). Two
+    savings multiply vs per-document suffix arrays:
 
-    Measured trade-off: on small-cache hosts the per-char cost of one big
-    SA-IS grows enough (cache/TLB) to cancel the char savings — wall-clock
-    parity with the per-document path at 2-core/32MB-LLC scale. The builder
-    therefore keeps per-document SAs (which also match its per-document
-    cache granularity); this path is for wide-LLC hosts and as the
-    reference implementation of colored MS. Returns
-    ``[n_documents][n_pivot_records]``.
+    - the pivot is sorted once per GROUP instead of once per document;
+    - ``fwd_only`` (default: auto, on unless any input contains 'U' — see
+      :func:`_rc_exact`) indexes only the FORWARD document text and instead
+      queries both P and RC(P), converting the RC half with
+      :func:`_rc_start_ms` — halving the document chars again.
+
+    Together: ~(2C·D + C·P) SA-IS chars drop to ~(C·D + 2P) per budget
+    window — ~2.9x fewer at HPRC-like widths (C≈90, D≈P). Per-color scan
+    pairs run on ``jobs`` threads when the partition yields one group.
+    Returns ``[n_documents][n_pivot_records]``.
 
     Source units are materialized in RAM; the budget governs per-group SA
     memory (``jobs`` parallel groups multiply it).
     """
     budget = _ms_budget_bytes(budget_bytes)
-    pivot_chars = sum(len(r) + 1 for r in pivot_records)
+    if fwd_only is None:
+        fwd_only = _rc_exact(
+            *(r.seq for r in pivot_records),
+            *(r.seq for doc in documents for r in doc),
+        )
+    from memo_tpu.io.fasta import reverse_complement
+
+    query_records = list(pivot_records)
+    if fwd_only:
+        query_records += [reverse_complement(r) for r in pivot_records]
+    pivot_chars = sum(len(r) + 1 for r in query_records)
     group_max = max(
         min(budget // _GSA_BYTES_PER_CHAR - pivot_chars, (1 << 31) - 16 - pivot_chars),
         1 << 20,
@@ -350,7 +421,8 @@ def pangenome_ms(
 
     tagged: list[tuple[FastaRecord, int]] = []
     for j, doc in enumerate(documents):
-        for u in with_reverse_complements(doc):
+        units = list(doc) if fwd_only else with_reverse_complements(doc)
+        for u in units:
             tagged.append((u, j))
     total_chars = sum(len(u) + 1 for u, _ in tagged)
     if jobs > 1:
@@ -379,13 +451,23 @@ def pangenome_ms(
         groups.append(cur)
 
     out = [[np.zeros(len(r), np.int32) for r in pivot_records] for _ in documents]
+    n_piv = len(pivot_records)
+    scan_threads = jobs if len(groups) == 1 else 1
 
     def run_group(group: list[tuple[FastaRecord, int]]):
         docs_here = sorted({j for _, j in group})
         remap = {j: c for c, j in enumerate(docs_here)}
         units = [u for u, _ in group]
         colors = [remap[j] for _, j in group]
-        cols = gsa_matching_statistics(units, colors, len(docs_here), pivot_records)
+        cols = gsa_matching_statistics(
+            units, colors, len(docs_here), query_records, scan_threads=scan_threads
+        )
+        if fwd_only:
+            # Fold the RC(P) half back onto P (see _rc_start_ms).
+            cols = [
+                [np.maximum(row[i], _rc_start_ms(row[n_piv + i])) for i in range(n_piv)]
+                for row in cols
+            ]
         return docs_here, cols
 
     def merge(docs_here, cols):

@@ -46,6 +46,7 @@ def _build() -> str:
         "-std=c++17",
         "-shared",
         "-fPIC",
+        "-pthread",
     ]
     if _sanitize():
         cmd += ["-fsanitize=address,undefined", "-fno-omit-frame-pointer", "-g"]
@@ -102,6 +103,10 @@ def load_libms() -> ctypes.CDLL | None:
             ctypes.c_char_p,  # pivot (records joined by 0x01)
             ctypes.c_int64,  # m
             ctypes.POINTER(ctypes.c_int32),  # out [n_colors * m]
+        ]
+        lib.ms_gsa_mt.restype = ctypes.c_int64
+        lib.ms_gsa_mt.argtypes = lib.ms_gsa.argtypes + [
+            ctypes.c_int32,  # n_threads for the per-color scan pairs
         ]
         lib.sais_u8.restype = ctypes.c_int32
         lib.sais_u8.argtypes = [

@@ -29,6 +29,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -365,9 +366,13 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
 //
 // out layout: out[color * m + i]. Returns 0; -1 length overflow; -2 bad
 // bytes; -3 bad colors (need 0 <= color < n_colors <= 250).
-int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
-               int64_t n_units, const int32_t* unit_color, int32_t n_colors,
-               const uint8_t* pivot, int64_t m, int32_t* out) {
+// `n_threads` parallelizes the per-color scan pairs (each color's two scans
+// read SA/col_of_row/S and write only its own out rows — embarrassingly
+// parallel; one nbr scratch per thread).
+int64_t ms_gsa_mt(const uint8_t* text, int64_t n, const int64_t* unit_ends,
+                  int64_t n_units, const int32_t* unit_color, int32_t n_colors,
+                  const uint8_t* pivot, int64_t m, int32_t* out,
+                  int32_t n_threads) {
   const int64_t N = n + m + 2;  // + separator + sentinel
   if (N > INT32_MAX - 1) return -1;
   if (n_colors < 1 || n_colors > 250) return -3;
@@ -413,8 +418,8 @@ int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
     }
   }
 
-  std::vector<int32_t> nbr(static_cast<size_t>(m));
-  auto scan = [&](bool above, uint8_t color, int32_t* out_c) {
+  auto scan = [&](bool above, uint8_t color, int32_t* out_c,
+                  std::vector<int32_t>& nbr) {
     std::fill(nbr.begin(), nbr.end(), -1);
     int64_t last_text = -1;
     const int64_t step = above ? 1 : -1;
@@ -445,11 +450,37 @@ int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
     }
   };
   std::fill(out, out + static_cast<size_t>(n_colors) * m, 0);
-  for (int32_t c = 0; c < n_colors; ++c) {
-    scan(true, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m);
-    scan(false, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m);
+  const int32_t T = std::max<int32_t>(
+      1, std::min<int32_t>(n_threads, n_colors));
+  if (T == 1) {
+    std::vector<int32_t> nbr(static_cast<size_t>(m));
+    for (int32_t c = 0; c < n_colors; ++c) {
+      scan(true, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m, nbr);
+      scan(false, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m, nbr);
+    }
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(T);
+    for (int32_t t = 0; t < T; ++t) {
+      pool.emplace_back([&, t]() {
+        std::vector<int32_t> nbr(static_cast<size_t>(m));
+        for (int32_t c = t; c < n_colors; c += T) {
+          int32_t* out_c = out + static_cast<size_t>(c) * m;
+          scan(true, static_cast<uint8_t>(c), out_c, nbr);
+          scan(false, static_cast<uint8_t>(c), out_c, nbr);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
   }
   return 0;
+}
+
+int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
+               int64_t n_units, const int32_t* unit_color, int32_t n_colors,
+               const uint8_t* pivot, int64_t m, int32_t* out) {
+  return ms_gsa_mt(text, n, unit_ends, n_units, unit_color, n_colors, pivot,
+                   m, out, 1);
 }
 
 // Build the automaton over reverse(text). Returns nullptr on alphabet

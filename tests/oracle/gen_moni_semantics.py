@@ -58,7 +58,9 @@ import tempfile
 
 OUT_DIR = pathlib.Path(__file__).resolve().parents[1] / "data" / "moni_semantics"
 
-COMPLEMENT = str.maketrans("ACGTacgtNnRYKMrykm", "TGCAtgcaNnYRMKyrmk")
+COMPLEMENT = str.maketrans(
+    "ACGTacgtNnRYKMrykmSsWwBbVvDdHh", "TGCAtgcaNnYRMKyrmkSsWwVvBbHhDd"
+)
 
 
 def revcomp(seq: str) -> str:
@@ -146,7 +148,56 @@ CASES: dict[str, tuple[str, str]] = {
         ">piv\nACGTacgtACGT\n",
         ">doc\nggACGTacGTtt\n",
     ),
+    # IUPAC ambiguity codes beyond N are byte-literal on the forward strand
+    # AND complement correctly on the reverse strand (R<->Y, K<->M, S/W
+    # self, B<->V, D<->H — the samtools faidx -i table, index.sh:64): the
+    # pivot's RYSWKM run only matches the doc's RC of its YRSWMK run.
+    "iupac_codes": (
+        ">piv\nACRYSWKMBDHVGT\n",
+        ">doc\nTTKMSWRYGGAC\n",
+    ),
+    # Degenerate record lengths: 1-bp pivot records, a 1-bp doc record, and
+    # a pivot record SHORTER than the doc's matching run (the k-overshoot
+    # regime: ms is clamped by the record's remaining length, never beyond).
+    "tiny_records": (
+        ">p1\nA\n>p2\nTG\n>p3\nACG\n",
+        ">d1\nA\n>d2\nACGTACGT\n",
+    ),
+    # Empty records: a zero-length pivot record (header with no sequence)
+    # contributes an empty .lengths row; a zero-length doc record indexes
+    # as a bare '$' unit and matches nothing.
+    "empty_records": (
+        ">p1\n>p2\nACGT\n",
+        ">d1\n>d2\nACGTT\n",
+    ),
 }
+
+
+def _random_case(seed: int = 20260820, n: int = 1000) -> tuple[str, str]:
+    """Randomized 1 kbp case with genome-like shared splices (seeded — the
+    golden bytes are frozen; regeneration is deterministic)."""
+    import random
+
+    rng = random.Random(seed)
+    alpha = "ACGT"
+    doc = [rng.choice(alpha) for _ in range(n)]
+    piv = [rng.choice(alpha) for _ in range(n)]
+    for _ in range(12):  # shared segments, some reverse-complemented
+        ln = rng.randint(8, 120)
+        src = rng.randint(0, n - ln)
+        dst = rng.randint(0, n - ln)
+        seg = "".join(doc[src : src + ln])
+        if rng.random() < 0.4:
+            seg = revcomp(seg)
+        piv[dst : dst + ln] = list(seg)
+    piv[rng.randint(0, n - 1)] = "N"
+    return (
+        ">piv\n" + "".join(piv) + "\n",
+        ">doc\n" + "".join(doc) + "\n",
+    )
+
+
+CASES["random_1kbp"] = _random_case()
 
 
 def write_goldens_bruteforce() -> None:

@@ -39,7 +39,12 @@ def _lengths_text(case: str, backend: str) -> str:
     # Byte-literal (MONI) semantics: no case normalization anywhere —
     # document_ms is called directly, as matching_statistics(uppercase=False)
     # would.
-    cols = document_ms(pivot, doc, backend=backend)
+    if backend in ("gsa", "gsa_rc_text"):
+        from memo_tpu.index.ms import pangenome_ms
+
+        cols = pangenome_ms(pivot, [doc], fwd_only=None if backend == "gsa" else False)[0]
+    else:
+        cols = document_ms(pivot, doc, backend=backend)
     return "".join(
         f">{r.name}\n" + " ".join(map(str, c.tolist())) + "\n"
         for r, c in zip(pivot, cols)
@@ -47,9 +52,9 @@ def _lengths_text(case: str, backend: str) -> str:
 
 
 @pytest.mark.parametrize("case", CASES)
-@pytest.mark.parametrize("backend", ["python", "native", "sa"])
+@pytest.mark.parametrize("backend", ["python", "native", "sa", "gsa", "gsa_rc_text"])
 def test_lengths_goldens(case: str, backend: str):
-    if backend in ("native", "sa"):
+    if backend != "python":
         from memo_tpu.native.build import load_libms
 
         if load_libms() is None:

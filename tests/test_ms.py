@@ -262,3 +262,65 @@ def test_dollar_in_pivot_rejected(native_available):
         msmod.sa_matching_statistics(text, bad)
     with pytest.raises(ValueError, match="reserved"):
         msmod.gsa_matching_statistics(doc, [0], 1, bad)
+
+
+def test_fwd_only_conversion_and_fallback(native_available):
+    """sa_matching_statistics_fwd (forward text + P/RC(P) queries) must equal
+    the classic RC-text layout; inputs containing 'U' (the one non-involutive
+    complement) must auto-fall back in pangenome_ms and stay exact."""
+    import random
+
+    from memo_tpu.index.ms import (
+        _rc_exact,
+        document_ms,
+        pangenome_ms,
+        sa_matching_statistics,
+        sa_matching_statistics_fwd,
+    )
+    from memo_tpu.io.fasta import with_reverse_complements
+
+    rng = random.Random(31)
+    for trial in range(25):
+        alpha = rng.choice(["AC", "ACGT", "ACGTN", "ACGTRYKM"])
+        doc = [
+            _rec(f"d{i}", "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80))))
+            for i in range(rng.randint(1, 3))
+        ]
+        piv = [
+            _rec(f"p{i}", "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
+            for i in range(rng.randint(1, 3))
+        ]
+        classic = sa_matching_statistics(
+            msmod.document_text(with_reverse_complements(doc), add_rc=False), piv
+        )
+        fwd = sa_matching_statistics_fwd(
+            msmod.document_text(doc, add_rc=False), piv
+        )
+        for i in range(len(piv)):
+            assert np.array_equal(classic[i], fwd[i]), (trial, i)
+
+    # 'U' forces the fallback and results still match the per-document path.
+    docs_u = [[_rec("d", "ACGUUGCA")], [_rec("e", "GGUACC")]]
+    piv_u = [_rec("p", "ACGUUG")]
+    assert not _rc_exact(piv_u[0].seq, docs_u[0][0].seq)
+    got = pangenome_ms(piv_u, docs_u)
+    want = [document_ms(piv_u, d, backend="sa") for d in docs_u]
+    for j in range(2):
+        assert np.array_equal(got[j][0], want[j][0])
+
+
+def test_gsa_scan_threads_equal(native_available):
+    """Threaded per-color scans (ms_gsa_mt) == single-threaded, bit-exact."""
+    import random
+
+    rng = random.Random(12)
+    units, colors = [], []
+    for j in range(6):
+        for r in range(rng.randint(1, 3)):
+            units.append(_rec(f"u{j}_{r}", _rand_dna(rng, rng.randint(5, 120))))
+            colors.append(j)
+    piv = [_rec("p", _rand_dna(rng, 200))]
+    a = msmod.gsa_matching_statistics(units, colors, 6, piv, scan_threads=1)
+    b = msmod.gsa_matching_statistics(units, colors, 6, piv, scan_threads=4)
+    for c in range(6):
+        assert np.array_equal(a[c][0], b[c][0]), c
