@@ -257,6 +257,7 @@ def bench_scaling_child() -> int:
     # startup (see memo_tpu.cli._honor_platform_env); re-assert CPU so the
     # virtual 8-device mesh actually materializes.
     jax.config.update("jax_platforms", "cpu")
+    _enable_persistent_compile_cache()
 
     from memo_tpu.index.builder import store_from_ms
     from memo_tpu.parallel import ResidentShardedQuery, ShardedQuery, make_mesh
@@ -377,6 +378,22 @@ def _run_child(flag: str, env: dict | None = None, timeout: float = 1200) -> dic
         _LIVE_CHILD["proc"] = None
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Persist compiled executables across processes (measured working
+    through the axon TPU backend): the first Mosaic compile of a shape costs
+    30s-6min on this tunnel, every later process pays ~1s. Keyed by jax
+    version+backend+HLO, so it is always safe to share."""
+    import jax
+
+    d = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "memo_tpu", "jax_cache"),
+    )
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def bench_stage_child(stage: str) -> int:
     """Device-stage child: each TPU-heavy detail stage runs in its own
     process with a pristine device/allocator. Stages sharing one process
@@ -388,6 +405,7 @@ def bench_stage_child(stage: str) -> int:
     backend = "pallas"
     import jax
 
+    _enable_persistent_compile_cache()
     if jax.default_backend() != "tpu":
         backend = "jax"
     if stage == "membership":
@@ -411,17 +429,24 @@ def bench_headline(rng, backend: str) -> dict:
 
     from memo_tpu.query.engine import QueryEngine
 
+    t_w = time.perf_counter()
     store = build_store(rng)
+    t_store = time.perf_counter() - t_w
     # Whole-region single dispatch (chunk = full pivot): one device call per
     # query. Per-call dispatch is ~1.5 ms through this environment's TPU
     # tunnel — chunking a 2 Mbp region into 512K windows would measure the
     # tunnel, not the kernel. Throughput = best of REPS (dispatch jitter is
     # one-sided noise).
+    t_w = time.perf_counter()
     engine = QueryEngine(
         store, backend=backend, chunk_positions=PIVOT_LEN, device_output=True
     )
+    t_init = time.perf_counter() - t_w
+    t_w = time.perf_counter()
     jax.block_until_ready(engine.conservation("chr1", 0, PIVOT_LEN, K))  # compile
+    t_compile = time.perf_counter() - t_w
 
+    t_w = time.perf_counter()
     dt = 1e9
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -429,10 +454,12 @@ def bench_headline(rng, backend: str) -> dict:
         jax.block_until_ready(out)
         dt = min(dt, time.perf_counter() - t0)
     mbp_s = PIVOT_LEN / dt / 1e6
+    t_reps = time.perf_counter() - t_w
 
     # k sweep on the SAME device-resident index — k is a traced scalar, so
     # arbitrary k reuses the compiled program (MEMO's core selling point,
     # reference README.md:1-5, preserved with zero re-indexing OR recompiling).
+    t_w = time.perf_counter()
     k_sweep = {}
     for k in (21, 31, 51, 101):
         jax.block_until_ready(engine.conservation("chr1", 0, PIVOT_LEN, k))
@@ -443,6 +470,7 @@ def bench_headline(rng, backend: str) -> dict:
             jax.block_until_ready(o)
             best = min(best, time.perf_counter() - t0)
         k_sweep[f"k{k}"] = round(PIVOT_LEN / best / 1e6, 1)
+    t_sweep = time.perf_counter() - t_w
 
     # Reference baseline, one 512K window at a time (one rep; it is slow —
     # the reference CLI also runs one process per query window).
@@ -480,6 +508,13 @@ def bench_headline(rng, backend: str) -> dict:
         "device": jax.devices()[0].platform,
         "exact": exact,
         "kernel_constants": {"tile": TILE, "ev_rows": EV_ROWS},
+        "phase_walls_s": {
+            "store_build": round(t_store, 1),
+            "engine_init_upload": round(t_init, 1),
+            "first_compile": round(t_compile, 1),
+            "reps": round(t_reps, 1),
+            "k_sweep": round(t_sweep, 1),
+        },
         "hbm_bytes_per_query": hbm_bytes,
         "hbm_gb_s": round(hbm_gb_s, 1),
         "hbm_utilization_pct": round(100 * hbm_gb_s / 800, 1),
@@ -607,9 +642,20 @@ def main() -> int:
     signal.signal(signal.SIGINT, on_term)
 
     rng = np.random.default_rng(12345)
-    headline = _run_child(
-        "--stage-headline", timeout=max(120, remaining() - RESERVE_S)
-    )
+    # The device tunnel here has multi-minute congestion spells (the SAME
+    # headline stage measures 40 s healthy and >585 s congested); several
+    # bounded attempts catch a healthy window where one long attempt rides
+    # the congestion to its timeout. Compiles hit the persistent cache after
+    # the first-ever run, so a healthy attempt is ~1 min.
+    headline: dict = {"error": "headline did not run"}
+    for attempt in range(3):
+        if "error" not in headline and headline.get("exact", False):
+            break
+        cap = 290 if attempt == 0 else remaining() - RESERVE_S
+        cap = max(60, min(cap, remaining() - RESERVE_S))
+        if remaining() < 75:
+            break
+        headline = _run_child("--stage-headline", timeout=cap)
     if "error" in headline or not headline.get("exact", False):
         result["error"] = headline.get("error", "output mismatch")
         print(json.dumps(result))
@@ -641,17 +687,25 @@ def main() -> int:
     }
     result["detail"] = detail
 
-    # Detail stages in priority order with rough cost ceilings (seconds,
-    # measured on this host); a stage runs only if its ceiling fits the
-    # remaining budget, so one slow stage can never zero the round's
-    # perf evidence again.
+    # Detail stages in priority order with rough cost estimates (seconds,
+    # measured on this host with a healthy tunnel); a stage runs only if its
+    # estimate fits the remaining budget AND is killed at 2x its estimate
+    # (a congested device tunnel can stretch any stage several-fold — the
+    # 90-doc large_store's ~3 GB of uploads once blew a 1200 s timeout), so
+    # one slow stage can never zero the round's perf evidence again.
+    def child(flag):
+        def run(cap):
+            return _run_child(flag, timeout=cap)
+
+        return run
+
     stages = [
-        ("index_build", 120, lambda: {**bench_index_build(rng), **bench_sa_build(rng)}),
-        ("large_store", 240, lambda: _run_child("--stage-large", timeout=remaining() - RESERVE_S)),
-        ("membership", 150, lambda: _run_child("--stage-membership", timeout=remaining() - RESERVE_S)),
-        ("scaling_virtual_8cpu", 200, lambda: bench_scaling(timeout=remaining() - RESERVE_S)),
-        ("view", 40, lambda: bench_view(rng)),
-        ("wide_store", 150, lambda: _run_child("--stage-wide", timeout=remaining() - RESERVE_S)),
+        ("index_build", 120, lambda cap: {**bench_index_build(rng), **bench_sa_build(rng)}),
+        ("large_store", 280, child("--stage-large")),
+        ("membership", 150, child("--stage-membership")),
+        ("scaling_virtual_8cpu", 200, lambda cap: bench_scaling(timeout=cap)),
+        ("view", 40, lambda cap: bench_view(rng)),
+        ("wide_store", 150, child("--stage-wide")),
     ]
     for name, est, fn in stages:
         if remaining() < est + RESERVE_S:
@@ -659,7 +713,7 @@ def main() -> int:
             continue
         t_stage = time.monotonic()
         try:
-            stage_out = fn()
+            stage_out = fn(min(2 * est, remaining() - RESERVE_S))
         except Exception as e:
             stage_out = {"error": f"{type(e).__name__}: {e}"}
         if isinstance(stage_out, dict):

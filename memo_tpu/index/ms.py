@@ -550,6 +550,15 @@ def document_ms(
         finally:
             del idx
 
+    # NOTE on the forward-only layout (sa_matching_statistics_fwd): indexing
+    # only the forward units and querying P + RC(P) sorts fewer TOTAL chars
+    # (2D + G*P -> D + G'*2P), but A/B runs on this host show SA-IS per-char
+    # cost grows superlinearly with input size (cache/TLB) — one 48M-char SA
+    # costs ~2x/char what two 32M-char SAs do, erasing the saving (13.1 s vs
+    # 8.3 s on a 16 Mbp doc). The classic RC-text split also IS the
+    # intra-document parallelism. It therefore stays the per-doc default;
+    # the fwd layout serves the colored-GSA pooled path (pangenome_ms).
+
     if jobs > 1:
         # Spread units over ~jobs groups even when everything fits one group:
         # per-group work is (group_chars + pivot_chars), so J parallel groups

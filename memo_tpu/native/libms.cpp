@@ -213,13 +213,24 @@ static void sais_impl(const CharT* s, int32_t* SA, int32_t n, int32_t K) {
     if (prev < 0) {
       diff = true;
     } else {
-      for (int32_t d = 0;; ++d) {
-        bool lp = d > 0 && is_lms(pos + d);
-        bool lq = d > 0 && is_lms(prev + d);
-        if (lp && lq) break;  // both substrings ended together: equal
-        if (lp != lq || s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
-          diff = true;
-          break;
+      // Compare via the fused (char, type) array: one load per side per
+      // step instead of s[]+t[], with LMS-ness derived from the previous
+      // step's fused values (is_lms(i) == S-type(i) && L-type(i-1)).
+      CT a = ct[pos], b = ct[prev];
+      if (a != b) {
+        diff = true;
+      } else {
+        for (int32_t d = 1;; ++d) {
+          CT a2 = ct[pos + d], b2 = ct[prev + d];
+          bool lp = (a2 & 1) && !(a & 1);
+          bool lq = (b2 & 1) && !(b & 1);
+          if (lp && lq) break;  // both substrings ended together: equal
+          if (lp != lq || a2 != b2) {
+            diff = true;
+            break;
+          }
+          a = a2;
+          b = b2;
         }
       }
     }

@@ -75,11 +75,14 @@ def _make_kernel(n_docs: int, membership: bool):
         val_p,
         prefix_ref,  # VMEM (1, C_pad) int32: coverage entering position 0
         out_ref,  # (TILE, 1) int32 conservation | (TILE, C_pad) int8 membership
-        pos_buf,  # VMEM (EV_ROWS, EV_LANES) int32 scratch
-        val_buf,
+        pos_m_buf,  # VMEM (EV_ROWS, EV_LANES) int32 scratch, minus stream
+        val_m_buf,
+        pos_p_buf,  # plus-stream pair (separate so cached blocks survive the
+        val_p_buf,  # other stream's loads)
         sem,  # DMA semaphores (2,)
         cov_ref,  # VMEM (TILE, C_pad) f32: coverage accumulator
         carry,  # VMEM (1, C_pad) f32: running coverage across tiles
+        blk_cache,  # SMEM (2,) int32: first row of the block each stream holds
     ):
         t = pl.program_id(0)
         T, C = cov_ref.shape
@@ -88,6 +91,8 @@ def _make_kernel(n_docs: int, membership: bool):
         @pl.when(t == 0)
         def _():
             carry[...] = prefix_ref[...].astype(jnp.float32)
+            blk_cache[0] = -1
+            blk_cache[1] = -1
 
         cov_ref[...] = jnp.broadcast_to(carry[0:1, :], (T, C))
 
@@ -95,10 +100,10 @@ def _make_kernel(n_docs: int, membership: bool):
         pos_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EV_LANES), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, EV_LANES), 0)
 
-        for sign, off_ref, pos_hbm, val_hbm in (
-            (-1.0, offm_ref, pos_m, val_m),
-            (1.0, offp_ref, pos_p, val_p),
-        ):
+        for s_idx, (sign, off_ref, pos_hbm, val_hbm, pos_buf, val_buf) in enumerate((
+            (-1.0, offm_ref, pos_m, val_m, pos_m_buf, val_m_buf),
+            (1.0, offp_ref, pos_p, val_p, pos_p_buf, val_p_buf),
+        )):
             lo = off_ref[t]
             hi = off_ref[t + 1]
             blk_lo = lo // EV_CHUNK
@@ -107,18 +112,27 @@ def _make_kernel(n_docs: int, membership: bool):
             n_chunks = jnp.where(hi > lo, pl.cdiv(hi, EV_CHUNK) - blk_lo, 0)
 
             def chunk_body(i, _, lo=lo, hi=hi, blk_lo=blk_lo, sign=sign,
-                           pos_hbm=pos_hbm, val_hbm=val_hbm):
+                           pos_hbm=pos_hbm, val_hbm=val_hbm, s_idx=s_idx,
+                           pos_buf=pos_buf, val_buf=val_buf):
                 row0 = pl.multiple_of((blk_lo + i) * EV_ROWS, EV_ROWS)
-                cp_p = pltpu.make_async_copy(
-                    pos_hbm.at[pl.ds(row0, EV_ROWS), :], pos_buf, sem.at[0]
-                )
-                cp_v = pltpu.make_async_copy(
-                    val_hbm.at[pl.ds(row0, EV_ROWS), :], val_buf, sem.at[1]
-                )
-                cp_p.start()
-                cp_v.start()
-                cp_p.wait()
-                cp_v.wait()
+
+                # Consecutive tiles usually need the SAME event block (an
+                # average tile holds far fewer events than a block); per-
+                # stream VMEM block caching skips the redundant DMAs — the
+                # dominant HBM traffic at sparse-event shapes.
+                @pl.when(blk_cache[s_idx] != row0)
+                def _(row0=row0):
+                    cp_p = pltpu.make_async_copy(
+                        pos_hbm.at[pl.ds(row0, EV_ROWS), :], pos_buf, sem.at[0]
+                    )
+                    cp_v = pltpu.make_async_copy(
+                        val_hbm.at[pl.ds(row0, EV_ROWS), :], val_buf, sem.at[1]
+                    )
+                    cp_p.start()
+                    cp_v.start()
+                    cp_p.wait()
+                    cp_v.wait()
+                    blk_cache[s_idx] = row0
 
                 for j in range(EV_ROWS):
                     row_first = (row0 + j) * EV_LANES
@@ -257,11 +271,14 @@ def memo_query_pallas(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),
-            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),
+            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),  # minus pos block
+            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),  # minus val block
+            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),  # plus pos block
+            pltpu.VMEM((EV_ROWS, EV_LANES), jnp.int32),  # plus val block
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((TILE, C_pad), jnp.float32),
             pltpu.VMEM((1, C_pad), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),  # cached block id per stream
         ],
     )
     n_rows = pos_m.shape[0] + pos_p.shape[0]
