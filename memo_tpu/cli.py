@@ -102,6 +102,15 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
         help="device mesh for --regions-file: data-parallel x position-parallel "
         "sizes (default: all devices on the position axis)",
     )
+    p.add_argument(
+        "--strategy",
+        default="position",
+        choices=("position", "interval", "resident"),
+        help="--regions-file sharding strategy: 'position'/'interval' gather "
+        "per-window candidates host-side; 'resident' places the index ONCE "
+        "into coordinate-sharded device memory and serves every window from "
+        "the resident shards (best for many/large windows) [position]",
+    )
     p.add_argument("-o", dest="out_file", required=True, help="output file")
     p.add_argument(
         "-m",
@@ -258,12 +267,29 @@ def cmd_query(args) -> int:
             mesh = make_mesh(dp=dp, sp=sp)
         else:
             mesh = make_mesh()
-        sq = ShardedQuery(store, mesh)
         with trace_context(args.profile):
-            if args.membership:
-                results = sq.membership(regions, args.k)
+            if args.strategy == "resident":
+                from memo_tpu.parallel import ResidentShardedQuery
+
+                # One resident placement per queried record; every window of
+                # that record is a slice of one whole-record SPMD dispatch.
+                k_max = max(args.k, 1024)
+                by_record: dict = {}
+                results = []
+                for record, qs, qe in regions:
+                    if record not in by_record:
+                        by_record[record] = ResidentShardedQuery(
+                            store, mesh, record=record, k_max=k_max
+                        )
+                    rq = by_record[record]
+                    fn = rq.membership if args.membership else rq.conservation
+                    results.append(fn(qs, qe, args.k))
             else:
-                results = sq.conservation(regions, args.k)
+                sq = ShardedQuery(store, mesh, strategy=args.strategy)
+                if args.membership:
+                    results = sq.membership(regions, args.k)
+                else:
+                    results = sq.conservation(regions, args.k)
         for (record, qs, qe), res in zip(regions, results):
             path = f"{args.out_file}.{record}_{qs}_{qe}.txt"
             if args.membership:

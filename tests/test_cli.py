@@ -180,6 +180,38 @@ def test_query_regions_file_batch(built_index, tmp_path):
     assert (tmp_path / "batch.piv_1_10_30.txt").exists()
 
 
+def test_query_regions_file_resident_strategy(built_index, tmp_path):
+    """--strategy resident serves the batch from the coordinate-sharded
+    device-resident store, byte-identical to the single-device path."""
+    regions = tmp_path / "regions.txt"
+    regions.write_text("piv_1:0-40\npiv_1:10-30\n")
+    prefix = tmp_path / "res"
+    rc = main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "--regions-file", str(regions),
+            "--mesh", "1,8",
+            "--strategy", "resident",
+            "-o", str(prefix),
+        ]
+    )
+    assert rc == 0
+    single = tmp_path / "s.txt"
+    main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "-r", "piv_1:10-30",
+            "-o", str(single),
+            "--backend", "numpy",
+        ]
+    )
+    assert (tmp_path / "res.piv_1_10_30.txt").read_text() == single.read_text()
+
+
 def test_query_requires_region_xor_regions_file(built_index, tmp_path):
     import pytest as _pytest
 
