@@ -48,6 +48,14 @@ def _add_index(sub: argparse._SubParsersAction) -> None:
         "max-merged (exact) [8192]",
     )
     p.add_argument(
+        "--ms-pooled",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="pool documents into shared colored-GSA suffix-array groups "
+        "(one SA per RAM-budget group serves every document in it; fastest "
+        "at pangenome widths). auto estimates from input sizes [auto]",
+    )
+    p.add_argument(
         "--emit-compat",
         action="store_true",
         help="also write reference-format artifacts (fai, dap.txt, bed, parquet)",
@@ -203,6 +211,7 @@ def cmd_index(args) -> int:
         emit_compat=args.emit_compat,
         compat_prefix=args.prefix,
         jobs=args.jobs,
+        pooled={"auto": None, "on": True, "off": False}[args.ms_pooled],
     )
     with trace_context(args.profile):
         store = build_index(args.genome_list, cfg)

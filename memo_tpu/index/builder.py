@@ -52,6 +52,13 @@ class BuildConfig:
     emit_compat: bool = False  # also write fai/dap.txt/bed/parquet
     compat_prefix: str | None = None
     jobs: int = 1  # parallel per-document MS builds (ctypes releases the GIL)
+    # Pooled colored-GSA MS (memo_tpu.index.ms.pangenome_ms): one suffix
+    # array per RAM-budget group SHARED by every document inside it, instead
+    # of one per document — the pivot is sorted once per group and forward-
+    # only indexing halves the document chars again. None = auto: pool when
+    # the estimated SA-IS char count drops below ~60% of the per-document
+    # path's (always true at HPRC-like widths, rarely for 2-3 huge docs).
+    pooled: bool | None = None
 
 
 def read_genome_list(path: str) -> list[str]:
@@ -109,6 +116,96 @@ def _ms_for_document(
     return cols
 
 
+def _pooled_ms(
+    doc_paths: list[str], pivot_records, pivot_sha: str, cfg: BuildConfig
+) -> list[list[np.ndarray]]:
+    """MS for all documents via pooled colored-GSA groups
+    (:func:`memo_tpu.index.ms.pangenome_ms`), honoring and writing the SAME
+    per-document cache entries as the per-document path — pooled and
+    per-document builds share resume state."""
+    from memo_tpu.index.ms import pangenome_ms
+
+    by_doc: dict[int, list[np.ndarray]] = {}
+    cache_paths: dict[int, str] = {}
+    to_build: list[int] = []
+    for j, p in enumerate(doc_paths):
+        if cfg.workdir:
+            os.makedirs(cfg.workdir, exist_ok=True)
+            key = f"{_file_sha(p)}-{pivot_sha}-{int(cfg.uppercase)}"
+            cache_paths[j] = os.path.join(cfg.workdir, f"ms-{key}.npz")
+            if os.path.exists(cache_paths[j]):
+                log.info("MS cache hit for %s", os.path.basename(p))
+                with np.load(cache_paths[j]) as z:
+                    by_doc[j] = [z[f"r{i}"] for i in range(len(pivot_records))]
+                continue
+        to_build.append(j)
+    if to_build:
+        docs = []
+        for j in to_build:
+            recs = read_fasta(doc_paths[j])
+            docs.append([r.upper() for r in recs] if cfg.uppercase else recs)
+        with stage_timer(f"ms:pooled[{len(to_build)}docs]"):
+            built = pangenome_ms(
+                pivot_records,
+                docs,
+                budget_bytes=cfg.ms_budget_bytes,
+                jobs=cfg.jobs,
+            )
+        for j, cols in zip(to_build, built):
+            by_doc[j] = cols
+            if cfg.workdir:
+                tmp = cache_paths[j] + ".tmp.npz"
+                np.savez_compressed(tmp, **{f"r{i}": c for i, c in enumerate(cols)})
+                os.replace(tmp, cache_paths[j])
+        log.info(
+            "computed pooled MS for %d documents (GSA groups, jobs=%d)",
+            len(to_build),
+            cfg.jobs,
+        )
+    return [by_doc[j] for j in range(len(doc_paths))]
+
+
+def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bool:
+    """Estimate whether pooled colored-GSA groups beat per-document suffix
+    arrays, by total SA-IS chars (file sizes proxy sequence lengths):
+
+    - per-document: each doc sorts (2*D_j + P) chars (doc+RC text, pivot
+      re-queried per doc);
+    - pooled fwd-only: D_total doc chars total + 2*P query chars per group
+      (P and RC(P) both queried in the forward-only layout).
+
+    Pool when the pooled estimate is < 60% of per-document — the margin
+    absorbs the GSA per-color scans and SA-IS's superlinear per-char cost on
+    bigger groups (measured on this class of host; see index/ms.py note)."""
+    from memo_tpu.index.ms import (
+        _GSA_BYTES_PER_CHAR,
+        _GSA_GROUP_CACHE_CAP,
+        _ms_budget_bytes,
+    )
+
+    if cfg.backend not in ("auto", "sa") or len(doc_paths) < 3:
+        return False
+    from memo_tpu.native.build import load_libms
+
+    if load_libms() is None:
+        return False
+    try:
+        d_sizes = [os.path.getsize(p) for p in doc_paths]
+    except OSError:
+        return False
+    d_total = sum(d_sizes)
+    budget = _ms_budget_bytes(cfg.ms_budget_bytes)
+    q_chars = 2 * pivot_chars  # P and RC(P) both queried in the fwd layout
+    group_max = max(budget // _GSA_BYTES_PER_CHAR - q_chars, 1 << 20)
+    if cfg.jobs > 1:
+        group_max = min(group_max, max((d_total + cfg.jobs - 1) // cfg.jobs, 1 << 20))
+    group_max = min(group_max, max(4 * q_chars, _GSA_GROUP_CACHE_CAP))
+    n_groups = max((d_total + group_max - 1) // group_max, 1)
+    pooled_chars = d_total + n_groups * q_chars
+    per_doc_chars = 2 * d_total + len(doc_paths) * pivot_chars
+    return pooled_chars < 0.6 * per_doc_chars
+
+
 def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) -> IntervalStore:
     cfg = cfg or BuildConfig()
     if isinstance(genome_list, str):
@@ -125,7 +222,17 @@ def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) ->
     # Per-document builds are independent (reference index.sh:59-80 runs them
     # sequentially); the C++ MS engine releases the GIL, so threads scale.
     ms_by_record = [np.zeros((len(r), len(doc_paths)), np.int32) for r in pivot_records]
-    if cfg.jobs > 1 and len(doc_paths) > 1:
+    pivot_chars = sum(len(r) + 1 for r in pivot_records)
+    pooled = (
+        cfg.pooled
+        if cfg.pooled is not None
+        else _auto_pooled(doc_paths, pivot_chars, cfg)
+    )
+    if pooled:
+        for j, cols in enumerate(_pooled_ms(doc_paths, pivot_records, pivot_sha, cfg)):
+            for i, col in enumerate(cols):
+                ms_by_record[i][:, j] = col
+    elif cfg.jobs > 1 and len(doc_paths) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=cfg.jobs) as pool:

@@ -236,10 +236,23 @@ def sa_matching_statistics(
             )
         if rc != 0:
             raise RuntimeError(f"ms_sa failed with code {rc}")
+    return _split_record_pieces(out, pivot_records)
+
+
+def _split_record_pieces(
+    row: np.ndarray, records: Sequence[FastaRecord], in_place: bool = False
+) -> list[np.ndarray]:
+    """Split a concatenated-pivot MS row back into per-record arrays, clamping
+    each value to its record's remaining length (matches through the 0x01
+    joiners only overshoot past a record's end, never within it).
+    ``in_place`` clamps views of ``row`` without copying (caller owns the
+    buffer and discards it after folding)."""
     cols: list[np.ndarray] = []
     off = 0
-    for r in pivot_records:
-        piece = out[off : off + len(r)].copy()
+    for r in records:
+        piece = row[off : off + len(r)]
+        if not in_place:
+            piece = piece.copy()
         np.minimum(piece, np.arange(len(r), 0, -1, dtype=np.int32), out=piece)
         cols.append(piece)
         off += len(r) + 1
@@ -264,12 +277,14 @@ def _rc_start_ms(ms_rc: np.ndarray) -> np.ndarray:
     only and query P and RC(P) instead — halving text chars, the win
     compounding across documents in colored-GSA groups."""
     m = ms_rc.shape[0]
-    msE = np.empty(m + 1, np.int64)
-    msE[0] = 0
-    msE[1:] = ms_rc[::-1]
-    f = np.arange(m + 1, dtype=np.int64) - msE  # nondecreasing
-    e_max = np.searchsorted(f, np.arange(m, dtype=np.int64), side="right") - 1
-    return (e_max - np.arange(m, dtype=np.int64)).astype(np.int32)
+    idx = np.arange(m + 1, dtype=np.int32)  # all values < 2^31: int32 is exact
+    f = np.empty(m + 1, np.int32)
+    f[0] = 0
+    np.subtract(idx[1:], ms_rc[::-1], out=f[1:])  # nondecreasing
+    e_max = np.searchsorted(f, idx[:m], side="right").astype(np.int32)
+    e_max -= 1
+    e_max -= idx[:m]
+    return e_max
 
 
 def _rc_exact(*byte_arrays) -> bool:
@@ -352,25 +367,103 @@ def gsa_matching_statistics(
             raise ValueError("bad unit colors (need 0 <= color < n_colors <= 250)")
         if rc != 0:
             raise RuntimeError(f"ms_gsa failed with code {rc}")
-    result: list[list[np.ndarray]] = []
-    for c in range(n_colors):
-        row = out[c]
-        cols_c: list[np.ndarray] = []
-        off = 0
-        for r in pivot_records:
-            # Clamp to the record's remaining length: matches through the
-            # 0x01 joiners only overshoot past a record's end, never within.
-            piece = row[off : off + len(r)].copy()
-            np.minimum(piece, np.arange(len(r), 0, -1, dtype=np.int32), out=piece)
-            cols_c.append(piece)
-            off += len(r) + 1
-        result.append(cols_c)
-    return result
+    return [_split_record_pieces(out[c], pivot_records) for c in range(n_colors)]
+
+
+class GsaGroup:
+    """Streaming handle over one colored-GSA group (libms gsa_build /
+    gsa_scan / gsa_free): the suffix array and per-row color table are built
+    ONCE, then :meth:`scan` computes matching statistics for any color range
+    into a bounded buffer — a monolithic ``[n_colors, m]`` result is
+    gigabytes at HPRC widths, so :func:`pangenome_ms` folds blocks into its
+    per-document accumulators as they stream out."""
+
+    def __init__(
+        self,
+        units: Sequence[FastaRecord],
+        colors: Sequence[int],
+        n_colors: int,
+        pivot_records: Sequence[FastaRecord],
+    ):
+        import ctypes
+
+        from memo_tpu.native.build import build_error, load_libms
+
+        lib = load_libms()
+        if lib is None:
+            raise RuntimeError(f"libms unavailable for GSA backend: {build_error()}")
+        self._lib = lib
+        self.n_colors = int(n_colors)
+        text = document_text(units, add_rc=False)
+        pivot_cat = _SEPARATOR.join(r.seq.tobytes() for r in pivot_records)
+        self.m = len(pivot_cat)
+        self._handle = None
+        if not (self.m and text):
+            return
+        ends = np.cumsum([len(u) + 1 for u in units]).astype(np.int64)
+        cols = np.asarray(list(colors), np.int32)
+        handle = ctypes.c_void_p()
+        rc = lib.gsa_build(
+            text,
+            len(text),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(units),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.n_colors,
+            pivot_cat,
+            self.m,
+            ctypes.byref(handle),
+        )
+        if rc == -1:
+            raise ValueError(
+                f"GSA group too large for int32 indexing ({len(text) + self.m} "
+                "chars); lower the MS budget so groups shrink"
+            )
+        if rc == -2:
+            raise ValueError(
+                "input contains reserved bytes (0x00/0x01, or '$' in the pivot)"
+            )
+        if rc == -3:
+            raise ValueError("bad unit colors (need 0 <= color < n_colors <= 250)")
+        if rc != 0:
+            raise RuntimeError(f"gsa_build failed with code {rc}")
+        self._handle = handle
+
+    def scan(self, c0: int, c1: int, n_threads: int = 1) -> np.ndarray:
+        """int32[c1-c0, m] matching statistics for colors [c0, c1)."""
+        import ctypes
+
+        out = np.zeros((c1 - c0, self.m), np.int32)
+        if self._handle is not None:
+            rc = self._lib.gsa_scan(
+                self._handle,
+                c0,
+                c1,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                max(int(n_threads), 1),
+            )
+            if rc != 0:
+                raise RuntimeError(f"gsa_scan failed with code {rc}")
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None) is not None:
+            self._lib.gsa_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 #: GSA path peak bytes/char: SA 4 + string 1 + fused char/type 2 + recursion
 #: ~2 + per-char color 1 + per-row color 1 + neighbor array amortized.
 _GSA_BYTES_PER_CHAR = 11
+
+#: Floor for the GSA group-size cache cap (chars) when the query is tiny.
+_GSA_GROUP_CACHE_CAP = 24 << 20
 
 
 def pangenome_ms(
@@ -418,6 +511,12 @@ def pangenome_ms(
         min(budget // _GSA_BYTES_PER_CHAR - pivot_chars, (1 << 31) - 16 - pivot_chars),
         1 << 20,
     )
+    # Cache-locality cap (A/B'd on-host at C=90): the per-color LCP
+    # extension's random text reads dominate pooled builds at pangenome
+    # widths, and a group text within ~4x the query size (tens of MB,
+    # LLC-scale) extends several-fold faster per char than a maximal
+    # (hundreds of MB) group — worth more than the extra pivot re-sorts.
+    group_max = min(group_max, max(4 * pivot_chars, _GSA_GROUP_CACHE_CAP))
 
     tagged: list[tuple[FastaRecord, int]] = []
     for j, doc in enumerate(documents):
@@ -453,37 +552,48 @@ def pangenome_ms(
     out = [[np.zeros(len(r), np.int32) for r in pivot_records] for _ in documents]
     n_piv = len(pivot_records)
     scan_threads = jobs if len(groups) == 1 else 1
+    import threading
+
+    merge_lock = threading.Lock()  # doc rows can span groups (max-merge)
+    GSA_BLOCK = 16  # colors per scan call (= libms kBlk): scratch = 16 * m int32
 
     def run_group(group: list[tuple[FastaRecord, int]]):
         docs_here = sorted({j for _, j in group})
         remap = {j: c for c, j in enumerate(docs_here)}
         units = [u for u, _ in group]
         colors = [remap[j] for _, j in group]
-        cols = gsa_matching_statistics(
-            units, colors, len(docs_here), query_records, scan_threads=scan_threads
-        )
-        if fwd_only:
-            # Fold the RC(P) half back onto P (see _rc_start_ms).
-            cols = [
-                [np.maximum(row[i], _rc_start_ms(row[n_piv + i])) for i in range(n_piv)]
-                for row in cols
-            ]
-        return docs_here, cols
-
-    def merge(docs_here, cols):
-        for c, j in enumerate(docs_here):
-            for acc, col in zip(out[j], cols[c]):
-                np.maximum(acc, col, out=acc)
+        grp = GsaGroup(units, colors, len(docs_here), query_records)
+        try:
+            # Stream color blocks out of the shared suffix array and fold
+            # each one into the per-document accumulators immediately —
+            # bounded memory instead of a [n_colors, m] monolith.
+            for c0 in range(0, len(docs_here), GSA_BLOCK):
+                c1 = min(c0 + GSA_BLOCK, len(docs_here))
+                blk = grp.scan(c0, c1, n_threads=scan_threads)
+                for bi, c in enumerate(range(c0, c1)):
+                    pieces = _split_record_pieces(blk[bi], query_records, in_place=True)
+                    if fwd_only:
+                        # Fold the RC(P) half back onto P (see _rc_start_ms).
+                        cols_c = [
+                            np.maximum(pieces[i], _rc_start_ms(pieces[n_piv + i]))
+                            for i in range(n_piv)
+                        ]
+                    else:
+                        cols_c = pieces
+                    with merge_lock:
+                        for acc, col in zip(out[docs_here[c]], cols_c):
+                            np.maximum(acc, col, out=acc)
+        finally:
+            grp.close()
 
     if jobs > 1 and len(groups) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=jobs) as pool:
-            for docs_here, cols in pool.map(run_group, groups):
-                merge(docs_here, cols)
+            list(pool.map(run_group, groups))
     else:
         for group in groups:
-            merge(*run_group(group))
+            run_group(group)
     return out
 
 

@@ -108,6 +108,22 @@ def load_libms() -> ctypes.CDLL | None:
         lib.ms_gsa_mt.argtypes = lib.ms_gsa.argtypes + [
             ctypes.c_int32,  # n_threads for the per-color scan pairs
         ]
+        # Streaming GSA API: build once, scan color blocks with bounded
+        # memory (pangenome_ms folds each block into per-doc accumulators).
+        lib.gsa_build.restype = ctypes.c_int64
+        lib.gsa_build.argtypes = lib.ms_gsa.argtypes[:8] + [
+            ctypes.POINTER(ctypes.c_void_p),  # out handle
+        ]
+        lib.gsa_scan.restype = ctypes.c_int64
+        lib.gsa_scan.argtypes = [
+            ctypes.c_void_p,  # handle
+            ctypes.c_int32,  # c0
+            ctypes.c_int32,  # c1
+            ctypes.POINTER(ctypes.c_int32),  # out [(c1-c0) * m]
+            ctypes.c_int32,  # n_threads (parallel color blocks)
+        ]
+        lib.gsa_free.restype = None
+        lib.gsa_free.argtypes = [ctypes.c_void_p]
         lib.sais_u8.restype = ctypes.c_int32
         lib.sais_u8.argtypes = [
             ctypes.c_char_p,

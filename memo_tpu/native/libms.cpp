@@ -28,6 +28,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <new>
 #include <thread>
 #include <vector>
@@ -359,7 +360,7 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
 }
 
 // Colored (generalized-SA) matching statistics: MS of `pivot` against EVERY
-// document of a group in ONE suffix-array pass over
+// document of a group from ONE suffix array over
 // all_units ++ 0x01 ++ pivot ++ 0x00 — instead of one SA per document that
 // re-sorts the pivot each time. `unit_ends` are cumulative end offsets of the
 // '$'-terminated units inside `text`; `unit_color[u]` maps unit u to its
@@ -368,38 +369,61 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
 // Per color, ms is the max lcp to the nearest same-color text suffix
 // above/below in SA order (nearest suffices: range-min LCP shrinks with
 // distance, and suffixes of other colors between them don't affect the min
-// to the NEAREST same-color one... they can only make intermediate rows'
-// lcp smaller, and lcp(p, u) depends on p and u alone). A per-SA-row color
-// table (built once, prefetched) makes each color's two scans purely
+// to the NEAREST same-color one — lcp(p, u) depends on p and u alone). A
+// per-SA-row color table (built once, prefetched) makes the scans purely
 // sequential; the PLCP carry argument of ms_sa holds per color unchanged —
 // h > 0 implies S[u] is not a terminator, so u+1 is in the same unit and
 // keeps the color.
 //
-// out layout: out[color * m + i]. Returns 0; -1 length overflow; -2 bad
-// bytes; -3 bad colors (need 0 <= color < n_colors <= 250).
-// `n_threads` parallelizes the per-color scan pairs (each color's two scans
-// read SA/col_of_row/S and write only its own out rows — embarrassingly
-// parallel; one nbr scratch per thread).
-int64_t ms_gsa_mt(const uint8_t* text, int64_t n, const int64_t* unit_ends,
+// The API is split build/scan/free so the caller streams color BLOCKS with
+// bounded memory (a monolithic [n_colors, m] result is gigabytes at HPRC
+// widths): gsa_build sorts once, gsa_scan computes any color range into a
+// caller buffer, the Python side folds each block into its per-document
+// accumulators immediately (memo_tpu.index.ms.pangenome_ms).
+
+namespace {
+
+struct GsaHandle {
+  std::vector<uint8_t> S;        // text ++ 0x01 ++ pivot ++ 0x00
+  std::vector<int32_t> SA;       // suffix array of S
+  std::vector<uint8_t> col_of_row;  // color / kPivot / 0xFF per SA row
+  int64_t n = 0, m = 0, N = 0;
+  int32_t n_colors = 0;
+};
+
+constexpr uint8_t kPivotMark = 0xFE;
+
+}  // namespace
+
+// Build the shared generalized-SA state for one group. On success returns 0
+// and sets *out_handle (free with gsa_free). Errors: -1 length overflow
+// (combined length exceeds int32 indexing), -2 bad bytes (0x00/0x01 in text,
+// 0x00/'$' in pivot), -3 bad colors (need 0 <= color < n_colors <= 250).
+int64_t gsa_build(const uint8_t* text, int64_t n, const int64_t* unit_ends,
                   int64_t n_units, const int32_t* unit_color, int32_t n_colors,
-                  const uint8_t* pivot, int64_t m, int32_t* out,
-                  int32_t n_threads) {
+                  const uint8_t* pivot, int64_t m, void** out_handle) {
+  *out_handle = nullptr;
   const int64_t N = n + m + 2;  // + separator + sentinel
   if (N > INT32_MAX - 1) return -1;
   if (n_colors < 1 || n_colors > 250) return -3;
   if (n_units > 0 && unit_ends[n_units - 1] != n) return -3;
-  std::vector<uint8_t> S(static_cast<size_t>(N));
-  std::memcpy(S.data(), text, static_cast<size_t>(n));
-  S[n] = 0x01;
-  std::memcpy(S.data() + n + 1, pivot, static_cast<size_t>(m));
-  S[N - 1] = 0x00;
+  auto h = std::make_unique<GsaHandle>();
+  h->n = n;
+  h->m = m;
+  h->N = N;
+  h->n_colors = n_colors;
+  h->S.resize(static_cast<size_t>(N));
+  std::memcpy(h->S.data(), text, static_cast<size_t>(n));
+  h->S[n] = 0x01;
+  std::memcpy(h->S.data() + n + 1, pivot, static_cast<size_t>(m));
+  h->S[N - 1] = 0x00;
   for (int64_t i = 0; i < n; ++i)
-    if (S[i] <= 0x01) return -2;
+    if (h->S[i] <= 0x01) return -2;
   for (int64_t i = n + 1; i < N - 1; ++i)
-    if (S[i] == 0x00 || S[i] == 0x24) return -2;  // no 0x00 / '$' in pivot
+    if (h->S[i] == 0x00 || h->S[i] == 0x24) return -2;  // no 0x00 / '$' in pivot
 
-  // Per-char color of text positions.
-  constexpr uint8_t kPivot = 0xFE;
+  // Per-char color of text positions (temporary — collapsed into the
+  // per-SA-row table below).
   std::vector<uint8_t> cc(static_cast<size_t>(n));
   {
     int64_t pos = 0;
@@ -411,80 +435,148 @@ int64_t ms_gsa_mt(const uint8_t* text, int64_t n, const int64_t* unit_ends,
     if (pos != n) return -3;
   }
 
-  std::vector<int32_t> SA(static_cast<size_t>(N));
-  sais_impl<uint8_t>(S.data(), SA.data(), static_cast<int32_t>(N), 256);
+  h->SA.resize(static_cast<size_t>(N));
+  sais_impl<uint8_t>(h->S.data(), h->SA.data(), static_cast<int32_t>(N), 256);
 
-  // One pass of prefetched random loads turns every later per-color scan
-  // into a sequential read: color (or pivot marker) of each SA row.
-  std::vector<uint8_t> col_of_row(static_cast<size_t>(N));
+  // One pass of prefetched random loads turns every later color scan into a
+  // sequential read: color (or pivot marker) of each SA row.
+  h->col_of_row.resize(static_cast<size_t>(N));
   {
     constexpr int64_t PF = 24;
+    const int32_t* SA = h->SA.data();
     for (int64_t r = 0; r < N; ++r) {
       if (r + PF < N) {
         int64_t q = SA[r + PF];
         if (q < n) __builtin_prefetch(&cc[q]);
       }
       int64_t p = SA[r];
-      col_of_row[r] = p < n ? cc[p] : (p > n && p < N - 1 ? kPivot : 0xFF);
+      h->col_of_row[r] = p < n ? cc[p] : (p > n && p < N - 1 ? kPivotMark : 0xFF);
     }
   }
+  *out_handle = h.release();
+  return 0;
+}
 
-  auto scan = [&](bool above, uint8_t color, int32_t* out_c,
-                  std::vector<int32_t>& nbr) {
-    std::fill(nbr.begin(), nbr.end(), -1);
-    int64_t last_text = -1;
+void gsa_free(void* handle) { delete static_cast<GsaHandle*>(handle); }
+
+// Matching statistics for colors [c0, c1) of a built group, written to
+// out[(c - c0) * m + i]. Blocked multi-color neighbor scans: ONE sequential
+// SA pass serves a block of up to kBlk colors (a last-seen register per
+// color; each pivot row stores the whole block's neighbors contiguously), so
+// the full-SA row-visit cost is 2*ceil(C/kBlk)*N instead of 2*C*N — at HPRC
+// widths (C~90) these scans, not SA-IS, dominate the pooled build. The LCP
+// extension then runs per color with the same PLCP carry as ms_sa. Scratch:
+// m*kBlk int32 per thread (the pivot is far smaller than the text in pooled
+// groups). `n_threads` parallelizes the independent blocks.
+// Returns 0, or -3 on a bad color range.
+int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
+                 int32_t n_threads) {
+  GsaHandle& H = *static_cast<GsaHandle*>(handle);
+  if (c0 < 0 || c1 <= c0 || c1 > H.n_colors) return -3;
+  const int64_t n = H.n, m = H.m, N = H.N;
+  const uint8_t* S = H.S.data();
+  const int32_t* SA = H.SA.data();
+  const uint8_t* col_of_row = H.col_of_row.data();
+
+  constexpr int32_t kBlk = 16;
+  auto scan_block = [&](bool above, int32_t b0, int32_t nb, int32_t* nbr_blk) {
+    int32_t last[kBlk];
+    for (int32_t b = 0; b < nb; ++b) last[b] = -1;
     const int64_t step = above ? 1 : -1;
+    const int32_t bhi = b0 + nb;
     for (int64_t r = above ? 0 : N - 1; r >= 0 && r < N; r += step) {
       uint8_t c = col_of_row[r];
-      if (c == color) {
-        last_text = SA[r];
-      } else if (c == kPivot) {
-        nbr[SA[r] - n - 1] = static_cast<int32_t>(last_text);
+      if (c == kPivotMark) {
+        // Every pivot row is visited exactly once: no pre-fill needed.
+        int32_t* dst = nbr_blk + static_cast<size_t>(SA[r] - n - 1) * nb;
+        for (int32_t b = 0; b < nb; ++b) dst[b] = last[b];
+      } else if (c >= b0 && c < bhi) {
+        last[c - b0] = SA[r];
       }
     }
-    int64_t h = 0;
+    // Interleaved LCP extension: ONE pass over pivot positions serves the
+    // whole block — each position's nbr row (nb int32, one cache line) is
+    // read once instead of once per color, and each color keeps its own
+    // PLCP carry. The pivot-side reads S[p+h] stay sequential (p+h is
+    // nondecreasing under the carry); the text side prefetches the next
+    // rows' S[u+h] with the current carry as the position estimate.
+    int64_t hs[kBlk];
+    for (int32_t b = 0; b < nb; ++b) hs[b] = 0;
+    int32_t* out_base = out + static_cast<size_t>(b0 - c0) * m;
     for (int64_t i = 0; i < m; ++i) {
-      if (i + 8 < m && nbr[i + 8] >= 0) __builtin_prefetch(&S[nbr[i + 8]]);
-      int64_t u = nbr[i];
-      if (u < 0) {
-        h = 0;
-        continue;
+      if (i + 4 < m) {
+        const int32_t* prow = nbr_blk + static_cast<size_t>(i + 4) * nb;
+        for (int32_t b = 0; b < nb; ++b) {
+          int32_t v = prow[b];
+          if (v >= 0) __builtin_prefetch(&S[v + hs[b]]);
+        }
       }
-      int64_t p = n + 1 + i;
-      while (S[p + h] == S[u + h]) ++h;  // 0x00 sentinel is unique: terminates
-      if (h > out_c[i]) out_c[i] = static_cast<int32_t>(h);
-      // Carry h-1 iff u+1 is still a same-color text suffix: h > 0 implies
-      // S[u] is not this unit's '$', so u+1 stays inside the unit (same
-      // color) — except at the very last text position, as in ms_sa.
-      if (u == n - 1) h = 0;
-      else if (h) --h;
+      const int32_t* row = nbr_blk + static_cast<size_t>(i) * nb;
+      for (int32_t b = 0; b < nb; ++b) {
+        int64_t u = row[b];
+        int64_t& h = hs[b];
+        if (u < 0) {
+          h = 0;
+          continue;
+        }
+        int64_t p = n + 1 + i;
+        while (S[p + h] == S[u + h]) ++h;  // 0x00 sentinel is unique: terminates
+        int32_t* out_c = out_base + static_cast<size_t>(b) * m;
+        if (h > out_c[i]) out_c[i] = static_cast<int32_t>(h);
+        // Carry h-1 iff u+1 is still a same-color text suffix: h > 0 implies
+        // S[u] is not this unit's '$', so u+1 stays inside the unit (same
+        // color) — except at the very last text position, as in ms_sa.
+        if (u == n - 1) h = 0;
+        else if (h) --h;
+      }
     }
   };
-  std::fill(out, out + static_cast<size_t>(n_colors) * m, 0);
-  const int32_t T = std::max<int32_t>(
-      1, std::min<int32_t>(n_threads, n_colors));
-  if (T == 1) {
-    std::vector<int32_t> nbr(static_cast<size_t>(m));
-    for (int32_t c = 0; c < n_colors; ++c) {
-      scan(true, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m, nbr);
-      scan(false, static_cast<uint8_t>(c), out + static_cast<size_t>(c) * m, nbr);
+  std::fill(out, out + static_cast<size_t>(c1 - c0) * m, 0);
+  // Blocks align to absolute color multiples of kBlk so any [c0, c1) split
+  // of the full range visits identical blocks (scan order is irrelevant to
+  // the result; alignment just keeps block sizes regular).
+  const int32_t first_blk = c0 / kBlk;
+  const int32_t last_blk = (c1 - 1) / kBlk;
+  const int32_t n_blocks = last_blk - first_blk + 1;
+  const int32_t T = std::max<int32_t>(1, std::min<int32_t>(n_threads, n_blocks));
+  auto run_blocks = [&](int32_t t, std::vector<int32_t>& nbr_blk) {
+    for (int32_t blk = first_blk + t; blk <= last_blk; blk += T) {
+      int32_t b0 = std::max(blk * kBlk, c0);
+      int32_t nb = std::min((blk + 1) * kBlk, c1) - b0;
+      scan_block(true, b0, nb, nbr_blk.data());
+      scan_block(false, b0, nb, nbr_blk.data());
     }
+  };
+  if (T == 1) {
+    std::vector<int32_t> nbr_blk(static_cast<size_t>(m) * kBlk);
+    run_blocks(0, nbr_blk);
   } else {
     std::vector<std::thread> pool;
     pool.reserve(T);
     for (int32_t t = 0; t < T; ++t) {
       pool.emplace_back([&, t]() {
-        std::vector<int32_t> nbr(static_cast<size_t>(m));
-        for (int32_t c = t; c < n_colors; c += T) {
-          int32_t* out_c = out + static_cast<size_t>(c) * m;
-          scan(true, static_cast<uint8_t>(c), out_c, nbr);
-          scan(false, static_cast<uint8_t>(c), out_c, nbr);
-        }
+        std::vector<int32_t> nbr_blk(static_cast<size_t>(m) * kBlk);
+        run_blocks(t, nbr_blk);
       });
     }
     for (auto& th : pool) th.join();
   }
   return 0;
+}
+
+// One-shot wrapper (kept for ABI compatibility and small groups): full
+// [n_colors, m] result in one call.
+int64_t ms_gsa_mt(const uint8_t* text, int64_t n, const int64_t* unit_ends,
+                  int64_t n_units, const int32_t* unit_color, int32_t n_colors,
+                  const uint8_t* pivot, int64_t m, int32_t* out,
+                  int32_t n_threads) {
+  void* h = nullptr;
+  int64_t rc = gsa_build(text, n, unit_ends, n_units, unit_color, n_colors,
+                         pivot, m, &h);
+  if (rc != 0) return rc;
+  rc = gsa_scan(h, 0, n_colors, out, n_threads);
+  gsa_free(h);
+  return rc;
 }
 
 int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,

@@ -324,3 +324,61 @@ def test_gsa_scan_threads_equal(native_available):
     b = msmod.gsa_matching_statistics(units, colors, 6, piv, scan_threads=4)
     for c in range(6):
         assert np.array_equal(a[c][0], b[c][0]), c
+
+
+def test_pooled_build_equals_per_document_build(tmp_path):
+    """build_index with pooled colored-GSA groups must produce the identical
+    store as the per-document path, and its per-document cache entries must
+    be interchangeable with the per-document builder's (shared resume
+    state)."""
+    import random
+
+    from memo_tpu.index.builder import BuildConfig, build_index
+    from memo_tpu.io.fasta import write_fasta
+    from memo_tpu.native.build import load_libms
+
+    if load_libms() is None:
+        pytest.skip("libms unavailable")
+    rng = random.Random(7)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"g{i}.fa"
+        recs = [_rec(f"g{i}r{j}", _rand_dna(rng, 150)) for j in range(2)]
+        write_fasta(str(p), recs)
+        paths.append(str(p))
+
+    a = build_index(paths, BuildConfig(backend="sa", workdir=None, pooled=False))
+    cache = tmp_path / "work"
+    b = build_index(
+        paths, BuildConfig(backend="sa", workdir=str(cache), pooled=True, jobs=2)
+    )
+    for field in ("start", "end", "order", "rec_id"):
+        assert np.array_equal(getattr(a, field), getattr(b, field)), field
+
+    # The pooled build's cache entries satisfy a per-document rebuild.
+    c = build_index(
+        paths, BuildConfig(backend="sa", workdir=str(cache), pooled=False)
+    )
+    assert np.array_equal(a.start, c.start)
+    n_cache = len(list(cache.glob("ms-*.npz")))
+    assert n_cache == len(paths) - 1  # one entry per non-pivot document
+
+
+def test_auto_pooled_heuristic(tmp_path):
+    """Auto mode pools at pangenome widths (many docs, small pivot share)
+    and stays per-document for few huge documents."""
+    from memo_tpu.index.builder import BuildConfig, _auto_pooled
+    from memo_tpu.native.build import load_libms
+
+    if load_libms() is None:
+        pytest.skip("libms unavailable")
+    docs = []
+    for i in range(20):
+        p = tmp_path / f"d{i}.fa"
+        p.write_bytes(b"A" * 10000)
+        docs.append(str(p))
+    assert _auto_pooled(docs, pivot_chars=10_000, cfg=BuildConfig())
+    # Two docs: below the >=3 doc floor.
+    assert not _auto_pooled(docs[:2], pivot_chars=10_000, cfg=BuildConfig())
+    # Explicit per-doc backends never auto-pool.
+    assert not _auto_pooled(docs, 10_000, BuildConfig(backend="native"))
