@@ -382,7 +382,14 @@ def _enable_persistent_compile_cache() -> None:
     """Persist compiled executables across processes (measured working
     through the axon TPU backend): the first Mosaic compile of a shape costs
     30s-6min on this tunnel, every later process pays ~1s. Keyed by jax
-    version+backend+HLO, so it is always safe to share."""
+    version+backend+HLO, so it is always safe to share.
+
+    The repo ships pre-compiled entries for every bench shape
+    (tools/jax_cache_seed/, ~2 MB) and copies missing ones into the cache
+    dir first: a FRESH VM's first bench run would otherwise spend its whole
+    headline cap inside one cold Mosaic compile (the r02 rc=124 failure
+    mode, reproduced this round on a rebooted host). A stale seed (different
+    jax/backend version) simply misses — correctness is key-guaranteed."""
     import jax
 
     d = os.environ.get(
@@ -390,6 +397,19 @@ def _enable_persistent_compile_cache() -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "memo_tpu", "jax_cache"),
     )
     os.makedirs(d, exist_ok=True)
+    seed = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "jax_cache_seed"
+    )
+    if os.path.isdir(seed):
+        import shutil
+
+        for name in os.listdir(seed):
+            dst = os.path.join(d, name)
+            if not os.path.exists(dst):
+                try:
+                    shutil.copy2(os.path.join(seed, name), dst)
+                except OSError:
+                    pass
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
