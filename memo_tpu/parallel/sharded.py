@@ -101,17 +101,23 @@ def _batch_fn(mesh: Mesh, L: int, C: int, n_docs: int, membership: bool, strateg
         in_specs = (P("dp", None), P("dp", None), P("dp", None), P("dp"), P())
         out_specs = P("dp", "sp", None) if membership else P("dp", "sp")
     elif strategy == "interval":
-        # Intervals sharded; partial coverage counts psum'd over ICI.
+        # Intervals sharded; partial coverage counts combined over ICI with
+        # psum_scatter along the position axis (half the ring traffic of a
+        # full psum, and the C-wide count tensor is never all-gathered —
+        # each shard reduces its own L/n_sp slab to marks/conservation and
+        # only the final outputs concatenate via the out_spec).
         def local(starts, ends, orders, qs, k):
             def one(s, e, o, b):
                 return coverage_counts(s, e, o, b, k, L=L, C=C)
 
-            part = jax.vmap(one)(starts, ends, orders, qs)
-            total = jax.lax.psum(part, axis_name="sp")
-            return jax.vmap(_reduce)(total > 0)
+            part = jax.vmap(one)(starts, ends, orders, qs)  # [W_loc, L, C]
+            slab = jax.lax.psum_scatter(
+                part, "sp", scatter_dimension=1, tiled=True
+            )  # [W_loc, L/n_sp, C], summed over sp
+            return jax.vmap(_reduce)(slab > 0)
 
         in_specs = (P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp"), P())
-        out_specs = P("dp", None, None) if membership else P("dp", None)
+        out_specs = P("dp", "sp", None) if membership else P("dp", "sp")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -136,6 +142,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
 class ShardedQuery:
     """Batched multi-device queries over an :class:`IntervalStore`.
 
@@ -150,8 +160,8 @@ class ShardedQuery:
         self.strategy = strategy
         self.n_docs = store.n_docs
 
-    def _gather(self, windows: list[tuple[str, int, int]], k: int):
-        """Build padded [W, M] candidate arrays for a list of (record, qs, qe)."""
+    def _window_rows(self, windows: list[tuple[str, int, int]], k: int):
+        """Candidate row range (lo, hi) per (record, qs, qe) window."""
         st = self.store
         rows = []
         for record, qs, qe in windows:
@@ -160,10 +170,12 @@ class ShardedQuery:
             rec_end = int(st.rec_offsets[r + 1])
             hi = min(hi, rec_end)  # rows past the record are another record's space
             rows.append((lo, hi))
-        m_needed = max((hi - lo for lo, hi in rows), default=1)
-        n_sp = self.mesh.shape["sp"]
-        M = _round_up(max(m_needed, n_sp), n_sp)
-        W = len(windows)
+        return rows
+
+    def _gather(self, rows: list[tuple[int, int]], M: int):
+        """Padded [W, M] candidate arrays for pre-computed row ranges."""
+        st = self.store
+        W = len(rows)
         starts = np.zeros((W, M), np.int32)
         ends = np.zeros((W, M), np.int32)
         orders = np.full((W, M), -1, np.int32)  # order<0 rows are dropped
@@ -181,25 +193,38 @@ class ShardedQuery:
         n_sp = self.mesh.shape["sp"]
         dp = self.mesh.shape["dp"]
         L = _round_up(max(max(lens), 1), n_sp)
-        W = _round_up(len(windows), dp)
-        padded = list(windows) + [(windows[0][0], 0, 0)] * (W - len(windows))
-        starts, ends, orders = self._gather(padded, k)
-        qs = np.asarray([s for _, s, _ in padded], np.int32)
+        rows = self._window_rows(windows, k)
+        # Bucket windows by next-pow2 candidate count: one dense window no
+        # longer inflates every window's padding to the batch max (host
+        # memory and transfer stay O(sum m_i), not O(W * max m_i)), while
+        # pow2 bucketing keeps the set of compiled (W, M) shapes bounded.
+        buckets: dict[int, list[int]] = {}
+        for i, (lo, hi) in enumerate(rows):
+            M = _round_up(max(_next_pow2(hi - lo), n_sp), n_sp)
+            buckets.setdefault(M, []).append(i)
         fn = membership_batch if membership else conservation_batch
-        out = np.asarray(
-            fn(
-                self.mesh,
-                starts,
-                ends,
-                orders,
-                qs,
-                k,
-                L=L,
-                n_docs=self.n_docs,
-                strategy=self.strategy,
+        results: list[np.ndarray | None] = [None] * len(windows)
+        for M, idxs in sorted(buckets.items()):
+            W = _round_up(len(idxs), dp)
+            sel = idxs + [idxs[0]] * (W - len(idxs))  # pad with a repeat row
+            starts, ends, orders = self._gather([rows[i] for i in sel], M)
+            qs = np.asarray([windows[i][1] for i in sel], np.int32)
+            out = np.asarray(
+                fn(
+                    self.mesh,
+                    starts,
+                    ends,
+                    orders,
+                    qs,
+                    k,
+                    L=L,
+                    n_docs=self.n_docs,
+                    strategy=self.strategy,
+                )
             )
-        )
-        return [out[i, : lens[i]] for i in range(len(windows))]
+            for j, i in enumerate(idxs):
+                results[i] = out[j, : lens[i]]
+        return results
 
     def conservation(self, windows: list[tuple[str, int, int]], k: int) -> list[np.ndarray]:
         """Per-window int32 conservation arrays (reference memo_query.py:70)."""

@@ -81,3 +81,26 @@ def test_make_global_mesh_single_process(store):
     engine = QueryEngine(store, backend="numpy")
     (got,) = sq.conservation([("chr0", 5, 105)], 9)
     np.testing.assert_array_equal(got, engine.conservation("chr0", 5, 105, 9))
+
+
+@pytest.mark.parametrize("strategy", ["position", "interval"])
+def test_skewed_batch_buckets(strategy):
+    """Windows with wildly different candidate counts land in different
+    pow2 buckets (one dense window must not inflate every window's padding
+    to the batch max) and stay bit-exact across buckets."""
+    rng = np.random.default_rng(11)
+    # chr0 densely covered, chr1 nearly empty: candidate counts differ ~100x.
+    dense = rng.integers(0, 60, size=(512, 4)).astype(np.int32)
+    sparse = np.zeros((512, 4), np.int32)
+    sparse[::97] = 3
+    store = store_from_ms([dense, sparse], ["chr0", "chr1"], [512, 512], 5, "conservation")
+    mesh = make_mesh(dp=2, sp=4)
+    sq = ShardedQuery(store, mesh, strategy=strategy)
+    windows = [("chr0", 0, 512), ("chr1", 0, 512), ("chr1", 64, 256), ("chr0", 8, 136)]
+    rows = sq._window_rows(windows, 3)
+    ms = {max(1 if hi - lo <= 1 else 1 << (hi - lo - 1).bit_length(), 4) for lo, hi in rows}
+    assert len(ms) > 1, f"expected multiple buckets, counts={[h-l for l, h in rows]}"
+    engine = QueryEngine(store, backend="numpy")
+    got = sq.conservation(windows, 3)
+    for (rec, qs, qe), g in zip(windows, got):
+        np.testing.assert_array_equal(np.asarray(g), engine.conservation(rec, qs, qe, 3))
