@@ -513,11 +513,14 @@ def bench_headline(rng, backend: str) -> dict:
     # chunks, bounded by one extra EV_CHUNK per stream per tile. Utilization
     # is that traffic over measured wall vs the ~800 GB/s v5e HBM ceiling —
     # the recorded "is it actually fast" ratio that tuning runs against.
-    from memo_tpu.ops.pallas_query import EV_CHUNK, EV_ROWS, TILE
+    from memo_tpu.ops.pallas_query import EV_LANES, kernel_constants_for
 
+    TILE, EV_ROWS = kernel_constants_for(
+        _next_pow2_events(store.num_intervals), PIVOT_LEN
+    )
     n_tiles = (PIVOT_LEN + TILE - 1) // TILE
     hbm_bytes = 2 * store.num_intervals * 8 + PIVOT_LEN * 4
-    hbm_bytes_max = hbm_bytes + 2 * n_tiles * EV_CHUNK * 8
+    hbm_bytes_max = hbm_bytes + 2 * n_tiles * EV_ROWS * EV_LANES * 8
     hbm_gb_s = hbm_bytes / dt / 1e9
     return {
         "mbp_s": round(mbp_s, 3),
@@ -619,6 +622,12 @@ def reference_query_np(store, qs: int, qe: int, k: int) -> np.ndarray:
     for s, ce, o in zip(starts, ends, orders):
         rec[ce:s, o] = True
     return np.argmax(rec, axis=1)
+
+
+def _next_pow2_events(n_intervals: int) -> int:
+    """The M bucket the engine's density rule sees for a whole-store window."""
+    n = max(n_intervals, 1)
+    return 1 << (n - 1).bit_length()
 
 
 RESERVE_S = 15  # always leave room to assemble and emit the one JSON line

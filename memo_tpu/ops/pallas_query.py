@@ -49,23 +49,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# TILE/EV_ROWS are env-overridable for on-chip sweeps (bench.py records the
-# values used). Driver-validated on the real v5e (BENCH_r03 headline config,
-# 2.2M intervals, and the large_store config, 75M intervals): defaults below
-# are the measured best; see BENCH_r03.json detail.kernel_constants.
-TILE = int(os.environ.get("MEMO_TPU_PALLAS_TILE", "512"))  # positions/grid step
+# Kernel tile constants are chosen PER QUERY by event density (on-chip
+# sweeps on the v5e, two rounds each, repo-root CLAUDE.md has the method):
+# sparse windows (~1-2 events/position, the whole-genome conservation case)
+# run ~20% faster at small tiles, dense HPRC-width stores (tens of
+# events/position) at wide DMA rows. MEMO_TPU_PALLAS_TILE / _EV_ROWS force a
+# fixed pair for sweeps; bench.py records the pair the headline used.
 EV_LANES = 512  # events per HBM row
-EV_ROWS = int(os.environ.get("MEMO_TPU_PALLAS_EV_ROWS", "16"))  # rows per DMA
-if TILE % 8 or TILE < 8 or EV_ROWS % 8 or EV_ROWS < 8:
-    raise ValueError("TILE and EV_ROWS must be positive multiples of 8")
-EV_CHUNK = EV_ROWS * EV_LANES  # events per DMA
+SPARSE_TILE_ROWS = (256, 16)  # measured best, headline config (2.2M intervals)
+DENSE_TILE_ROWS = (512, 8)  # measured best, large_store config (75M intervals)
+DENSE_EVENTS_PER_POS = 8  # stream events per window position at the switch
+
+_ENV_TILE = os.environ.get("MEMO_TPU_PALLAS_TILE")
+_ENV_ROWS = os.environ.get("MEMO_TPU_PALLAS_EV_ROWS")
+
+
+def kernel_constants_for(n_events: int, length: int) -> tuple[int, int]:
+    """(tile, ev_rows) for a window of ``length`` positions whose larger
+    event stream holds ``n_events`` events."""
+    if _ENV_TILE or _ENV_ROWS:
+        tile = int(_ENV_TILE or DENSE_TILE_ROWS[0])
+        rows = int(_ENV_ROWS or DENSE_TILE_ROWS[1])
+    elif n_events >= DENSE_EVENTS_PER_POS * max(length, 1):
+        tile, rows = DENSE_TILE_ROWS
+    else:
+        tile, rows = SPARSE_TILE_ROWS
+    if tile % 8 or tile < 8 or rows % 8 or rows < 8:
+        raise ValueError("TILE and EV_ROWS must be positive multiples of 8")
+    return tile, rows
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _make_kernel(n_docs: int, membership: bool):
+def _make_kernel(n_docs: int, membership: bool, ev_rows: int):
+    EV_ROWS = ev_rows
+    EV_CHUNK = EV_ROWS * EV_LANES
     def kernel(
         offm_ref,  # (nt+1,) scalar prefetch: minus-stream event offsets per tile
         offp_ref,  # (nt+1,) scalar prefetch: plus-stream event offsets per tile
@@ -181,10 +201,10 @@ def _make_kernel(n_docs: int, membership: bool):
     return kernel
 
 
-def _to_event_rows(pos, val, l_pad: int):
+def _to_event_rows(pos, val, l_pad: int, ev_chunk: int):
     """Pad 1-D event arrays to [rows, EV_LANES] with inert tail events."""
     n = pos.shape[0]
-    rows = _round_up(max(n, 1), EV_CHUNK) // EV_LANES
+    rows = _round_up(max(n, 1), ev_chunk) // EV_LANES
     pad = rows * EV_LANES - n
     pos = jnp.concatenate([pos, jnp.full((pad,), l_pad, jnp.int32)]).reshape(
         rows, EV_LANES
@@ -194,7 +214,8 @@ def _to_event_rows(pos, val, l_pad: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("M", "L", "C", "n_docs", "membership", "interpret")
+    jax.jit,
+    static_argnames=("M", "L", "C", "n_docs", "membership", "interpret", "tile", "ev_rows"),
 )
 def memo_query_pallas(
     d_start,  # device store, start order: start / end / order (int32, padded)
@@ -217,10 +238,16 @@ def memo_query_pallas(
     n_docs: int,
     membership: bool,
     interpret: bool = False,
+    tile: int = 256,
+    ev_rows: int = 16,
 ):
     """One query window, fused: returns int32[L] conservation values or
     int8[L, C] membership. Candidate ranges and prefix come from the host
-    (IntervalStore.query_layout); see module docstring for the math."""
+    (IntervalStore.query_layout); (tile, ev_rows) from
+    :func:`kernel_constants_for`; see module docstring for the math."""
+    TILE = tile
+    EV_ROWS = ev_rows
+    EV_CHUNK = EV_ROWS * EV_LANES
     L_pad = _round_up(max(L, 1), TILE)
     C_pad = _round_up(max(C, 1), 128)
     nt = L_pad // TILE
@@ -248,8 +275,8 @@ def memo_query_pallas(
     boundaries = jnp.arange(nt + 1, dtype=jnp.int32) * TILE
     offm = jnp.searchsorted(pos_m, boundaries, side="left").astype(jnp.int32)
     offp = jnp.searchsorted(pos_p, boundaries, side="left").astype(jnp.int32)
-    pos_m, val_m = _to_event_rows(pos_m, val_m, L_pad)
-    pos_p, val_p = _to_event_rows(pos_p, val_p, L_pad)
+    pos_m, val_m = _to_event_rows(pos_m, val_m, L_pad, EV_CHUNK)
+    pos_p, val_p = _to_event_rows(pos_p, val_p, L_pad, EV_CHUNK)
 
     if membership:
         out_shape = jax.ShapeDtypeStruct((L_pad, C_pad), jnp.int8)
@@ -283,7 +310,7 @@ def memo_query_pallas(
     )
     n_rows = pos_m.shape[0] + pos_p.shape[0]
     out = pl.pallas_call(
-        _make_kernel(n_docs, membership),
+        _make_kernel(n_docs, membership, EV_ROWS),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,

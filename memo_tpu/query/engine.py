@@ -277,7 +277,7 @@ class QueryEngine:
         pre-sorted streams + host prefix counts (ops/pallas_query.py)."""
         import jax.numpy as jnp
 
-        from memo_tpu.ops.pallas_query import memo_query_pallas
+        from memo_tpu.ops.pallas_query import kernel_constants_for, memo_query_pallas
 
         st = self.store
         lay = self._layout
@@ -308,6 +308,9 @@ class QueryEngine:
             right = self._query_chunk_pallas(record, mid, qe, k, membership, stats)
             return self._cat(left, right)
         stats.candidate_intervals += count
+        # Tile/DMA-row constants by event density: M is the pow2 bucket the
+        # candidate count landed in, so the compiled-program set stays small.
+        tile, ev_rows = kernel_constants_for(M, L)
 
         C_pad = max((n + 127) // 128 * 128, 128)
         prefix = np.zeros((1, C_pad), np.int32)
@@ -332,6 +335,8 @@ class QueryEngine:
             n_docs=n,
             membership=membership,
             interpret=self._interpret,
+            tile=tile,
+            ev_rows=ev_rows,
         )
         return out if self.device_output else np.asarray(out)
 
