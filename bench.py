@@ -728,11 +728,15 @@ def main() -> int:
 
         return run
 
+    # Priority order: the SPMD scaling row (resident/position/interval
+    # strategies on the virtual mesh) and the membership config outrank the
+    # HBM-pressure stages when the budget is tight — those also live in the
+    # committed local-run artifact (docs/BENCH_local_r03.json).
     stages = [
         ("index_build", 120, lambda cap: {**bench_index_build(rng), **bench_sa_build(rng)}),
-        ("large_store", 280, child("--stage-large")),
-        ("membership", 150, child("--stage-membership")),
         ("scaling_virtual_8cpu", 200, lambda cap: bench_scaling(timeout=cap)),
+        ("membership", 130, child("--stage-membership")),
+        ("large_store", 280, child("--stage-large")),
         ("view", 40, lambda cap: bench_view(rng)),
         ("wide_store", 150, child("--stage-wide")),
     ]
