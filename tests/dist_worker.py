@@ -38,6 +38,25 @@ def main() -> int:
     assert dict(mesh.shape) == {"dp": nprocs, "sp": 2}, dict(mesh.shape)
 
     store, windows, k = build_fixture_store(n_windows=2 * nprocs)
+
+    if strategy == "resident":
+        # Device-resident coordinate-sharded store across PROCESSES: every
+        # process places the same host store into the global (dp, sp) mesh
+        # once (slab shards land on its local devices), then one SPMD
+        # dispatch computes the whole record; each process saves its
+        # addressable slabs for the parent to stitch.
+        from memo_tpu.parallel import ResidentShardedQuery
+
+        rq = ResidentShardedQuery(store, mesh, k_max=2 * k)
+        out = rq.conservation_full(k)
+        shards = {}
+        for shard in out.addressable_shards:
+            r0 = shard.index[0].start or 0
+            shards[f"at_{r0}_0"] = np.asarray(shard.data)
+        np.savez(os.path.join(outdir, f"proc{pid}.npz"), **shards)
+        jax.distributed.shutdown()
+        return 0
+
     starts, ends, orders, qs, L = gather_windows(store, windows, k, mesh)
 
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -25,7 +25,7 @@ def _free_port() -> int:
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "nprocs,strategy",
-    [(2, "position"), (2, "interval"), (4, "position")],
+    [(2, "position"), (2, "interval"), (4, "position"), (2, "resident")],
 )
 def test_multi_process_distributed_query(tmp_path, nprocs, strategy):
     port = _free_port()
@@ -52,6 +52,24 @@ def test_multi_process_distributed_query(tmp_path, nprocs, strategy):
     from tests.dist_common import K, build_fixture_store
 
     store, windows, k = build_fixture_store(n_windows=2 * nprocs)
+
+    if strategy == "resident":
+        # Whole-record output sharded over the global sp axis: stitch the
+        # slabs and compare against the single-process engine.
+        from memo_tpu.query.engine import QueryEngine
+
+        P = int(store.record_lens[0])
+        got1 = np.full(P, -1, np.int64)
+        for pid in range(nprocs):
+            with np.load(tmp_path / f"proc{pid}.npz") as z:
+                for key in z.files:
+                    _, r0, _ = key.split("_")
+                    block = z[key]
+                    got1[int(r0) : int(r0) + block.shape[0]] = block
+        assert (got1 >= 0).all(), "global output has unwritten holes"
+        eng = QueryEngine(store, backend="numpy")
+        np.testing.assert_array_equal(got1, eng.conservation("chr1", 0, P, K))
+        return
     W = len(windows)
     L = windows[0][2] - windows[0][1]
     got = np.full((W, L), -1, np.int64)
