@@ -545,6 +545,50 @@ def bench_headline(rng, backend: str) -> dict:
     }
 
 
+def bench_pangenome_build(rng) -> dict:
+    """Pangenome-width index build: pooled colored-GSA groups (one suffix
+    array shared by every document in a cache-sized group, the auto-selected
+    path at width) vs per-document suffix arrays — the VERDICT-r2 build-
+    throughput lever, recorded as a ratio so the driver artifact carries it."""
+    import tempfile
+
+    from memo_tpu.index.builder import BuildConfig, build_index
+
+    n, n_docs = 1 << 21, 12  # ratio grows with width; ~12 s total on this host
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.integers(0, 4, n, dtype=np.uint8)
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for j in range(n_docs):
+            seq = base
+            if j:
+                seq = base.copy()
+                flips = rng.random(n) < 0.01
+                seq[flips] = rng.integers(0, 4, int(flips.sum()), dtype=np.uint8)
+            p = os.path.join(td, f"g{j}.fa")
+            with open(p, "wb") as fh:
+                fh.write(b">chr1\n" + lut[seq].tobytes() + b"\n")
+            paths.append(p)
+        stores = {}
+        for mode in ("pooled", "perdoc"):
+            t0 = time.perf_counter()
+            stores[mode] = build_index(
+                paths,
+                BuildConfig(
+                    backend="sa", workdir=None, jobs=2, pooled=(mode == "pooled")
+                ),
+            )
+            dt = time.perf_counter() - t0
+            out[f"{mode}_mbp_s"] = round((n_docs - 1) * n / dt / 1e6, 2)
+    out["pooled_speedup"] = round(out["pooled_mbp_s"] / out["perdoc_mbp_s"], 2)
+    out["identical_stores"] = bool(
+        np.array_equal(stores["pooled"].start, stores["perdoc"].start)
+        and np.array_equal(stores["pooled"].order, stores["perdoc"].order)
+    )
+    return out
+
+
 def bench_sa_build(rng) -> dict:
     """Chromosome-scale index-build path: partitioned SA-IS matching
     statistics (memo_tpu.index.ms.document_ms backend='sa'). Size via
@@ -733,7 +777,11 @@ def main() -> int:
     # HBM-pressure stages when the budget is tight — those also live in the
     # committed local-run artifact (docs/BENCH_local_r03.json).
     stages = [
-        ("index_build", 120, lambda cap: {**bench_index_build(rng), **bench_sa_build(rng)}),
+        ("index_build", 120, lambda cap: {
+            **bench_index_build(rng),
+            **bench_sa_build(rng),
+            "pangenome": bench_pangenome_build(rng),
+        }),
         ("scaling_virtual_8cpu", 200, lambda cap: bench_scaling(timeout=cap)),
         ("membership", 130, child("--stage-membership")),
         ("large_store", 280, child("--stage-large")),
