@@ -422,12 +422,13 @@ def bench_stage_child(stage: str) -> int:
     this environment's device tunnel); isolation makes the numbers
     reproducible. Seeds are fixed per stage."""
     rng = np.random.default_rng(12345)
-    backend = "pallas"
+    # The XLA diff-array path outruns the fused Pallas kernel at every
+    # measured shape on this toolchain (interleaved A/B in
+    # docs/BENCH_local_r03.json backend_ab); stages bench the default.
+    backend = "jax"
     import jax
 
     _enable_persistent_compile_cache()
-    if jax.default_backend() != "tpu":
-        backend = "jax"
     if stage == "membership":
         print(json.dumps(bench_membership(rng, backend)))
     elif stage == "large":
@@ -507,20 +508,35 @@ def bench_headline(rng, backend: str) -> dict:
             np.concatenate(ref_out),
         )
     )
-    # HBM roofline (VERDICT r2 #6): the kernel's HBM traffic per query is the
-    # two event streams (pos+val int32 per event, every interval appears in
-    # both) plus the int32 output; per-tile DMA blocks can re-read boundary
-    # chunks, bounded by one extra EV_CHUNK per stream per tile. Utilization
-    # is that traffic over measured wall vs the ~800 GB/s v5e HBM ceiling —
-    # the recorded "is it actually fast" ratio that tuning runs against.
-    from memo_tpu.ops.pallas_query import EV_LANES, kernel_constants_for
+    # HBM roofline (VERDICT r2 #6), per backend:
+    # - jax (diff-array): candidate rows (3 int32 arrays) + scatter into the
+    #   (L+1)*C diff plane + cumsum read/write + the reduced int32 output.
+    # - pallas (fused kernel): two event streams (pos+val int32 per event)
+    #   plus the int32 output; the upper bound adds one boundary DMA block
+    #   re-read per stream per tile.
+    # Utilization = traffic / wall vs the ~800 GB/s v5e ceiling — the
+    # recorded "is it actually fast" ratio that tuning runs against.
+    detail: dict = {}
+    if backend == "pallas":
+        from memo_tpu.ops.pallas_query import EV_LANES, kernel_constants_for
 
-    TILE, EV_ROWS = kernel_constants_for(
-        _next_pow2_events(store.num_intervals), PIVOT_LEN
-    )
-    n_tiles = (PIVOT_LEN + TILE - 1) // TILE
-    hbm_bytes = 2 * store.num_intervals * 8 + PIVOT_LEN * 4
-    hbm_bytes_max = hbm_bytes + 2 * n_tiles * EV_ROWS * EV_LANES * 8
+        TILE, EV_ROWS = kernel_constants_for(
+            _next_pow2_events(store.num_intervals), PIVOT_LEN
+        )
+        n_tiles = (PIVOT_LEN + TILE - 1) // TILE
+        hbm_bytes = 2 * store.num_intervals * 8 + PIVOT_LEN * 4
+        hbm_bytes_max = hbm_bytes + 2 * n_tiles * EV_ROWS * EV_LANES * 8
+        detail["kernel_constants"] = {"tile": TILE, "ev_rows": EV_ROWS}
+        detail["hbm_utilization_pct_upper"] = round(
+            100 * hbm_bytes_max / dt / 1e9 / 800, 1
+        )
+    else:
+        C = store.n_docs
+        hbm_bytes = (
+            3 * store.num_intervals * 4  # candidate start/end/order reads
+            + 3 * (PIVOT_LEN + 1) * C * 4  # diff-plane scatter + cumsum r/w
+            + PIVOT_LEN * 4  # reduced output
+        )
     hbm_gb_s = hbm_bytes / dt / 1e9
     return {
         "mbp_s": round(mbp_s, 3),
@@ -530,7 +546,7 @@ def bench_headline(rng, backend: str) -> dict:
         "backend": backend,
         "device": jax.devices()[0].platform,
         "exact": exact,
-        "kernel_constants": {"tile": TILE, "ev_rows": EV_ROWS},
+        **detail,
         "phase_walls_s": {
             "store_build": round(t_store, 1),
             "engine_init_upload": round(t_init, 1),
@@ -541,7 +557,6 @@ def bench_headline(rng, backend: str) -> dict:
         "hbm_bytes_per_query": hbm_bytes,
         "hbm_gb_s": round(hbm_gb_s, 1),
         "hbm_utilization_pct": round(100 * hbm_gb_s / 800, 1),
-        "hbm_utilization_pct_upper": round(100 * hbm_bytes_max / dt / 1e9 / 800, 1),
     }
 
 

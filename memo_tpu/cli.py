@@ -130,7 +130,8 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
         "--backend",
         default=None,
         choices=["jax", "pallas", "numpy"],
-        help="query backend [pallas on TPU, jax otherwise]",
+        help="query backend [jax: XLA diff-array+cumsum, the measured-fastest "
+        "path on current TPU toolchains; pallas: fused custom kernel; numpy: host]",
     )
     p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
     p.add_argument("--stats", action="store_true", help="print per-query stats to stderr")
@@ -191,9 +192,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _default_backend() -> str:
     try:
-        import jax
+        # Interleaved A/B on the real v5e (docs/BENCH_local_r03.json
+        # backend_ab): the XLA scatter+cumsum lowering beats the fused
+        # Pallas kernel at every measured shape (sparse/dense/wide/
+        # membership), so "jax" is the default on every device; the
+        # kernel stays available via --backend pallas.
+        import jax  # noqa: F401
 
-        return "pallas" if jax.default_backend() == "tpu" else "jax"
+        return "jax"
     except Exception:
         return "numpy"
 

@@ -73,7 +73,7 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     engine = QueryEngine(
         store,
-        backend="pallas" if on_tpu else "jax",
+        backend="jax",
         chunk_positions=1 << 21,
         max_intervals_per_chunk=1 << 25,
         device_output=True,
