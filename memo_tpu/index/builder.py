@@ -201,6 +201,12 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
         group_max = min(group_max, max((d_total + cfg.jobs - 1) // cfg.jobs, 1 << 20))
     group_max = min(group_max, max(4 * q_chars, _GSA_GROUP_CACHE_CAP))
     n_groups = max((d_total + group_max - 1) // group_max, 1)
+    if d_total > budget // 2:
+        # The pooled path materializes every uncached document's records in
+        # RAM at once (pangenome_ms's contract); the per-document path
+        # streams one document at a time. Stay per-document when the inputs
+        # alone would eat half the MS budget.
+        return False
     pooled_chars = d_total + n_groups * q_chars
     per_doc_chars = 2 * d_total + len(doc_paths) * pivot_chars
     return pooled_chars < 0.6 * per_doc_chars
