@@ -30,6 +30,14 @@ def format_conservation(values: np.ndarray) -> bytes:
     vmax = int(v.max())
     if int(v.min()) < 0 or vmax > 1_000_000:  # never produced by the query
         return b"\n".join(str(int(x)).encode() for x in v.tolist()) + b"\n"
+    if vmax <= 9:
+        # All lines are one digit: fixed-width [N, 2] assembly, no ragged
+        # compress — ~10x the general path (covers pangenomes of <= 9
+        # non-pivot documents and any fully-diverged region).
+        out = np.empty((v.size, 2), np.uint8)
+        out[:, 0] = v.astype(np.uint8) + ord("0")
+        out[:, 1] = ord("\n")
+        return out.tobytes()
     width = len(str(vmax))
     lut = np.zeros((vmax + 1, width + 1), np.uint8)  # left-justified "<v>\n"
     mask = np.zeros((vmax + 1, width + 1), bool)  # which columns are live
