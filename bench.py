@@ -237,10 +237,22 @@ def bench_view(rng) -> dict:
     with tempfile.TemporaryDirectory() as td:
         inp = os.path.join(td, "cons.txt")
         np.savetxt(inp, vals, fmt="%i")
+        tiny = os.path.join(td, "tiny.txt")
+        np.savetxt(tiny, vals[:1000], fmt="%i")
+        t_cold = time.perf_counter()
+        # Tiny warmup render: pay matplotlib/pandas imports + font cache once,
+        # so view_s measures the stage's throughput, not interpreter cold
+        # start (recorded separately as view_cold_s).
+        save_conservation_plot(tiny, os.path.join(td, "w.png"), N_DOCS, 500, 100)
+        warm_s = time.perf_counter() - t_cold
         t0 = time.perf_counter()
         save_conservation_plot(inp, os.path.join(td, "v.png"), N_DOCS, 500, 100)
         dt = time.perf_counter() - t0
-    return {"view_s": round(dt, 2), "view_mbp_s": round(PIVOT_LEN / dt / 1e6, 1)}
+    return {
+        "view_s": round(dt, 2),
+        "view_cold_s": round(warm_s + dt, 2),
+        "view_mbp_s": round(PIVOT_LEN / dt / 1e6, 1),
+    }
 
 
 def bench_scaling_child() -> int:
@@ -495,7 +507,10 @@ def bench_headline(rng, backend: str) -> dict:
     # The k=31 sweep entry re-measures the headline config minutes later;
     # the device tunnel's congestion spells are one-sided noise, so the
     # faster of the two observations is the better throughput estimate.
+    # dt follows so every derived headline field (hbm_gb_s, utilization)
+    # describes the same winning observation.
     mbp_s = max(mbp_s, k_sweep["k31"])
+    dt = PIVOT_LEN / (mbp_s * 1e6)
 
     # Reference baseline, one 512K window at a time (one rep; it is slow —
     # the reference CLI also runs one process per query window).
@@ -611,7 +626,9 @@ def bench_pangenome_build(rng) -> dict:
     out["pooled_speedup"] = round(out["pooled_mbp_s"] / out["perdoc_mbp_s"], 2)
     out["identical_stores"] = bool(
         np.array_equal(stores["pooled"].start, stores["perdoc"].start)
+        and np.array_equal(stores["pooled"].end, stores["perdoc"].end)
         and np.array_equal(stores["pooled"].order, stores["perdoc"].order)
+        and np.array_equal(stores["pooled"].rec_id, stores["perdoc"].rec_id)
     )
     return out
 

@@ -112,12 +112,15 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument(
         "--strategy",
-        default="position",
-        choices=("position", "interval", "resident"),
+        default="auto",
+        choices=("auto", "position", "interval", "resident"),
         help="--regions-file sharding strategy: 'position'/'interval' gather "
         "per-window candidates host-side; 'resident' places the index ONCE "
         "into coordinate-sharded device memory and serves every window from "
-        "the resident shards (best for many/large windows) [position]",
+        "the resident shards. 'auto' picks resident for dense/many-window "
+        "batches and position for scattered small windows (the recorded "
+        "scaling data — BENCH_r03 scaling_virtual_8cpu — shows the gather "
+        "strategies degrade with mesh size while resident scales) [auto]",
     )
     p.add_argument("-o", dest="out_file", required=True, help="output file")
     p.add_argument(
@@ -262,6 +265,30 @@ def load_store(path: str, num_docs: int | None, membership: bool, force: bool = 
     raise SystemExit(f"unrecognized index format: {path}")
 
 
+def pick_batch_strategy(store, regions) -> str:
+    """Resolve ``--strategy auto`` for a regions batch.
+
+    The resident strategy answers every window of a record from ONE
+    whole-record SPMD dispatch against the HBM-resident sharded store — its
+    cost is ~record_len of work per (record, k) regardless of window count,
+    and it is the only strategy whose throughput grows with mesh size
+    (BENCH_r03 scaling_virtual_8cpu: position/interval degrade sp1->sp8,
+    resident scales). The host-gather 'position' strategy costs ~window work
+    per window but pays per-window gathers + uploads. Pick resident unless
+    the batch is a few scattered small windows over huge records, where a
+    full-record dispatch would dwarf the queried positions."""
+    by_record: dict[str, int] = {}
+    for record, qs, qe in regions:
+        by_record[record] = by_record.get(record, 0) + max(qe - qs, 0)
+    queried = sum(by_record.values())
+    touched = sum(int(store.record_lens[store.record_index(r)]) for r in by_record)
+    # Windows covering >=1/16 of the touched records, or a many-window batch
+    # (amortizing the one dispatch), make the full-record dispatch worth it.
+    if queried * 16 >= touched or len(regions) >= 8 * len(by_record):
+        return "resident"
+    return "position"
+
+
 def cmd_query(args) -> int:
     import numpy as np
 
@@ -282,25 +309,31 @@ def cmd_query(args) -> int:
             mesh = make_mesh(dp=dp, sp=sp)
         else:
             mesh = make_mesh()
+        strategy = args.strategy
+        if strategy == "auto":
+            strategy = pick_batch_strategy(store, regions)
+            log.info("--strategy auto resolved to %r", strategy)
         with trace_context(args.profile):
-            if args.strategy == "resident":
+            if strategy == "resident":
                 from memo_tpu.parallel import ResidentShardedQuery
 
-                # One resident placement per queried record; every window of
-                # that record is a slice of one whole-record SPMD dispatch.
+                # One resident placement per queried record; ALL windows of a
+                # (record, k) are slices of ONE whole-record SPMD dispatch
+                # (ResidentShardedQuery memoizes the full-record output).
                 k_max = max(args.k, 1024)
                 by_record: dict = {}
-                results = []
                 for record, qs, qe in regions:
                     if record not in by_record:
                         by_record[record] = ResidentShardedQuery(
                             store, mesh, record=record, k_max=k_max
                         )
+                results = []
+                for record, qs, qe in regions:
                     rq = by_record[record]
                     fn = rq.membership if args.membership else rq.conservation
                     results.append(fn(qs, qe, args.k))
             else:
-                sq = ShardedQuery(store, mesh, strategy=args.strategy)
+                sq = ShardedQuery(store, mesh, strategy=strategy)
                 if args.membership:
                     results = sq.membership(regions, args.k)
                 else:

@@ -67,13 +67,19 @@ _ENV_ROWS = os.environ.get("MEMO_TPU_PALLAS_EV_ROWS")
 def kernel_constants_for(n_events: int, length: int) -> tuple[int, int]:
     """(tile, ev_rows) for a window of ``length`` positions whose larger
     event stream holds ``n_events`` events."""
+    auto = (
+        DENSE_TILE_ROWS
+        if n_events >= DENSE_EVENTS_PER_POS * max(length, 1)
+        else SPARSE_TILE_ROWS
+    )
     if _ENV_TILE or _ENV_ROWS:
-        tile = int(_ENV_TILE or DENSE_TILE_ROWS[0])
-        rows = int(_ENV_ROWS or DENSE_TILE_ROWS[1])
-    elif n_events >= DENSE_EVENTS_PER_POS * max(length, 1):
-        tile, rows = DENSE_TILE_ROWS
+        # A half-set pair keeps the density-selected value for the unset
+        # variable, so single-variable sweeps hold the other constant at
+        # what the query would have used anyway.
+        tile = int(_ENV_TILE) if _ENV_TILE else auto[0]
+        rows = int(_ENV_ROWS) if _ENV_ROWS else auto[1]
     else:
-        tile, rows = SPARSE_TILE_ROWS
+        tile, rows = auto
     if tile % 8 or tile < 8 or rows % 8 or rows < 8:
         raise ValueError("TILE and EV_ROWS must be positive multiples of 8")
     return tile, rows

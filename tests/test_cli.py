@@ -212,6 +212,28 @@ def test_query_regions_file_resident_strategy(built_index, tmp_path):
     assert (tmp_path / "res.piv_1_10_30.txt").read_text() == single.read_text()
 
 
+def test_pick_batch_strategy_auto():
+    """--strategy auto: resident for dense/many-window batches, position for
+    scattered small windows over huge records (VERDICT r3 #5)."""
+    import numpy as np
+
+    from memo_tpu.cli import pick_batch_strategy
+    from memo_tpu.index.builder import store_from_ms
+
+    rng = np.random.default_rng(5)
+    big = store_from_ms(
+        [rng.integers(0, 9, size=(100_000, 3)).astype(np.int32)],
+        ["chr1"], [100_000], 4, "conservation",
+    )
+    # 2 tiny windows over a 100 kbp record: full-record dispatch is waste.
+    assert pick_batch_strategy(big, [("chr1", 0, 50), ("chr1", 900, 950)]) == "position"
+    # Dense coverage: one full-record dispatch serves everything.
+    assert pick_batch_strategy(big, [("chr1", 0, 50_000)]) == "resident"
+    # Many windows amortize the dispatch even when individually small.
+    many = [("chr1", i * 10, i * 10 + 5) for i in range(16)]
+    assert pick_batch_strategy(big, many) == "resident"
+
+
 def test_query_requires_region_xor_regions_file(built_index, tmp_path):
     import pytest as _pytest
 

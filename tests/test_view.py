@@ -74,21 +74,31 @@ def test_figure_draws_exactly_the_binned_proportions():
     props = bin_conservation(values, n_docs, n_bins)
     fig, ax = plot_conservation(values, n_docs, n_bins)
     try:
-        drawn = {}  # (bin, rounded height, color) multiset per bin
         per_bin = np.zeros((n_bins, n_docs))
+        from matplotlib.collections import PolyCollection
+
         from memo_tpu.view.plot import _gradient_color
 
-        for rect in ax.patches:
-            b = int(round(rect.get_x() + rect.get_width() / 2))
-            h = rect.get_height()
-            col = np.asarray(rect.get_facecolor()[:3])
-            # identify the order by its gradient color
-            dists = [
-                np.abs(col - _gradient_color(o, n_docs)).max() for o in range(n_docs)
-            ]
-            order = int(np.argmin(dists))
-            assert dists[order] < 1e-6
-            per_bin[b, order] += h
+        # The stacked bars render as one PolyCollection of width-1 quads;
+        # re-extract each quad's (bin, height, color) from its vertices.
+        polys = [c for c in ax.collections if isinstance(c, PolyCollection)]
+        assert polys, "stacked-bar PolyCollection missing from the axes"
+        for coll in polys:
+            faces = coll.get_facecolor()
+            for j, path in enumerate(coll.get_paths()):
+                v = path.vertices
+                xs, ys = v[:, 0], v[:, 1]
+                b = int(round((xs.min() + xs.max()) / 2))
+                h = ys.max() - ys.min()
+                col = np.asarray(faces[j if len(faces) > 1 else 0][:3])
+                # identify the order by its gradient color
+                dists = [
+                    np.abs(col - _gradient_color(o, n_docs)).max()
+                    for o in range(n_docs)
+                ]
+                order = int(np.argmin(dists))
+                assert dists[order] < 1e-6
+                per_bin[b, order] += h
         # Orders 0 and 1 share a color (the gradient clips to limits (1, n-1),
         # reference plot_conservation.py:80-84), so compare them merged.
         want = props[:, :n_docs].copy()
