@@ -179,7 +179,7 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
     bigger groups (measured on this class of host; see index/ms.py note)."""
     from memo_tpu.index.ms import (
         _GSA_BYTES_PER_CHAR,
-        _GSA_GROUP_CACHE_CAP,
+        _GSA_GROUP_SWEET_CHARS,
         _ms_budget_bytes,
     )
 
@@ -199,7 +199,7 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
     group_max = max(budget // _GSA_BYTES_PER_CHAR - q_chars, 1 << 20)
     if cfg.jobs > 1:
         group_max = min(group_max, max((d_total + cfg.jobs - 1) // cfg.jobs, 1 << 20))
-    group_max = min(group_max, max(4 * q_chars, _GSA_GROUP_CACHE_CAP))
+    group_max = min(group_max, max(2 * q_chars, _GSA_GROUP_SWEET_CHARS))
     n_groups = max((d_total + group_max - 1) // group_max, 1)
     if d_total > budget // 2:
         # The pooled path materializes every uncached document's records in

@@ -277,13 +277,33 @@ def _rc_start_ms(ms_rc: np.ndarray) -> np.ndarray:
     only and query P and RC(P) instead — halving text chars, the win
     compounding across documents in colored-GSA groups."""
     m = ms_rc.shape[0]
-    idx = np.arange(m + 1, dtype=np.int32)  # all values < 2^31: int32 is exact
+    from memo_tpu.native.build import load_libms
+
+    lib = load_libms()
+    if lib is not None and m:
+        # One sequential two-pointer merge in C (libms ms_rc_start): both
+        # f's argument and p advance monotonically. The numpy fallbacks
+        # (searchsorted, then histogram+cumsum) allocate several m-sized
+        # temporaries per color and measurably dominated wide pooled builds.
+        import ctypes
+
+        ms_c = np.ascontiguousarray(ms_rc, np.int32)
+        out = np.empty(m, np.int32)
+        lib.ms_rc_start(
+            ms_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    idx = np.arange(m, dtype=np.int32)  # all values < 2^31: int32 is exact
     f = np.empty(m + 1, np.int32)
     f[0] = 0
-    np.subtract(idx[1:], ms_rc[::-1], out=f[1:])  # nondecreasing
-    e_max = np.searchsorted(f, idx[:m], side="right").astype(np.int32)
+    np.subtract(idx + 1, ms_rc[::-1], out=f[1:])  # nondecreasing, in [0, m]
+    # max{ e : f(e) <= p } + 1 == #{ e : f(e) <= p } (f nondecreasing), which
+    # for every p at once is a counting sort: cumsum of the value histogram.
+    e_max = np.cumsum(np.bincount(f, minlength=m + 1)[:m]).astype(np.int32)
     e_max -= 1
-    e_max -= idx[:m]
+    e_max -= idx
     return e_max
 
 
@@ -458,12 +478,13 @@ class GsaGroup:
             pass
 
 
-#: GSA path peak bytes/char: SA 4 + string 1 + fused char/type 2 + recursion
-#: ~2 + per-char color 1 + per-row color 1 + neighbor array amortized.
-_GSA_BYTES_PER_CHAR = 11
+#: GSA path peak bytes/char: persistent handle (string 1 + SA 4 + LCP 4 +
+#: per-row color 1) plus build-time rank 4 and SA-IS internals (fused
+#: char/type 2 + recursion), overlapping peaks ~15.
+_GSA_BYTES_PER_CHAR = 15
 
-#: Floor for the GSA group-size cache cap (chars) when the query is tiny.
-_GSA_GROUP_CACHE_CAP = 24 << 20
+#: Group-size floor (chars) — see sizing comment in pangenome_ms.
+_GSA_GROUP_SWEET_CHARS = 24 << 20
 
 
 def pangenome_ms(
@@ -507,16 +528,25 @@ def pangenome_ms(
     if fwd_only:
         query_records += [reverse_complement(r) for r in pivot_records]
     pivot_chars = sum(len(r) + 1 for r in query_records)
+    # Group sizing: bounded by the RAM budget and int32 indexing, and capped
+    # at ~4x the query size floored at _GSA_GROUP_SWEET_CHARS (on-host
+    # sweeps, tools/bench_pooled_ab.py): SA-IS and Kasai are random-access
+    # bound and their per-char cost grows measurably past ~10^8 chars
+    # (TLB/cache reach), while below ~4x the query the per-group pivot
+    # re-sort (2P chars) stops amortizing — at C=90/5 Mbp the 40M cap
+    # measured 6.3 Mbp/s vs 4.4 at 96M and 3.4 at 150M.
+    # MEMO_TPU_GSA_GROUP_CHARS overrides for sweeps.
+    import os
+
+    env_cap = os.environ.get("MEMO_TPU_GSA_GROUP_CHARS")
     group_max = max(
         min(budget // _GSA_BYTES_PER_CHAR - pivot_chars, (1 << 31) - 16 - pivot_chars),
         1 << 20,
     )
-    # Cache-locality cap (A/B'd on-host at C=90): the per-color LCP
-    # extension's random text reads dominate pooled builds at pangenome
-    # widths, and a group text within ~4x the query size (tens of MB,
-    # LLC-scale) extends several-fold faster per char than a maximal
-    # (hundreds of MB) group — worth more than the extra pivot re-sorts.
-    group_max = min(group_max, max(4 * pivot_chars, _GSA_GROUP_CACHE_CAP))
+    if env_cap:
+        group_max = min(group_max, max(int(env_cap), 1 << 20))
+    else:
+        group_max = min(group_max, max(4 * pivot_chars, _GSA_GROUP_SWEET_CHARS))
 
     tagged: list[tuple[FastaRecord, int]] = []
     for j, doc in enumerate(documents):

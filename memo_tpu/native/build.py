@@ -124,6 +124,12 @@ def load_libms() -> ctypes.CDLL | None:
         ]
         lib.gsa_free.restype = None
         lib.gsa_free.argtypes = [ctypes.c_void_p]
+        lib.ms_rc_start.restype = None
+        lib.ms_rc_start.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # ms_rc [m]
+            ctypes.c_int64,  # m
+            ctypes.POINTER(ctypes.c_int32),  # out [m]
+        ]
         lib.sais_u8.restype = ctypes.c_int32
         lib.sais_u8.argtypes = [
             ctypes.c_char_p,

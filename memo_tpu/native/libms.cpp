@@ -26,14 +26,81 @@
 
 #include <algorithm>
 #include <cstdint>
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#endif
 #include <cstdlib>
 #include <cstring>
 #include <memory>
+#include <mutex>
 #include <new>
 #include <thread>
 #include <vector>
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
 
 namespace {
+
+// Ask the kernel for 2 MB pages on a large allocation (Linux THP is
+// usually "madvise"-mode). The suffix-array passes are random accesses over
+// hundreds of MB; on 4 KB pages they are TLB-walk bound — SA-IS measured
+// 12.1 -> 7.4 Mchar/s going 15M -> 210M chars purely from working-set
+// growth. The hint must land BEFORE first touch to take effect eagerly.
+inline bool huge_enabled() {
+#ifdef __linux__
+  // Default ON (~15% on 100M+-char builds, measured best-of-2 at 105M:
+  // 7.7 -> 8.8 Mchar/s); MEMO_TPU_HUGEPAGES=0 opts out.
+  static const bool on = [] {
+    const char* e = getenv("MEMO_TPU_HUGEPAGES");
+    return !(e && e[0] == '0');
+  }();
+  return on;
+#else
+  return false;
+#endif
+}
+
+inline void hint_huge(void* p, size_t bytes) {
+#ifdef __linux__
+  if (!huge_enabled()) return;
+  uintptr_t a = (reinterpret_cast<uintptr_t>(p) + 4095) & ~uintptr_t(4095);
+  uintptr_t end = reinterpret_cast<uintptr_t>(p) + bytes;
+  if (end > a + (2u << 20))
+    madvise(reinterpret_cast<void*>(a), end - a, MADV_HUGEPAGE);
+#endif
+}
+
+// Minimal owning buffer: 64 B aligned, huge-page hinted, NOT initialized —
+// std::vector would zero a multi-hundred-MB buffer (a full write pass) and
+// touch every 4 KB page before any huge-page hint could apply.
+template <typename T>
+struct HugeBuf {
+  T* p = nullptr;
+  size_t n = 0;
+  HugeBuf() = default;
+  explicit HugeBuf(size_t count) { alloc(count); }
+  HugeBuf(const HugeBuf&) = delete;
+  HugeBuf& operator=(const HugeBuf&) = delete;
+  void alloc(size_t count) {
+    release();
+    n = count;
+    p = static_cast<T*>(
+        ::operator new(count * sizeof(T), std::align_val_t(64)));
+    hint_huge(p, count * sizeof(T));
+  }
+  void release() {
+    if (p) ::operator delete(p, std::align_val_t(64));
+    p = nullptr;
+    n = 0;
+  }
+  ~HugeBuf() { release(); }
+  T* data() { return p; }
+  const T* data() const { return p; }
+  T& operator[](size_t i) { return p[i]; }
+  const T& operator[](size_t i) const { return p[i]; }
+  size_t size() const { return n; }
+};
 
 // One state = (2 + acap) contiguous int32s: [len, link, next[0..acap)].
 // The build's suffix-link walks and the query's failure-link walks touch
@@ -147,7 +214,7 @@ static void sais_impl(const CharT* s, int32_t* SA, int32_t n, int32_t K) {
     SA[0] = 0;
     return;
   }
-  std::vector<uint8_t> t(n);  // 1 = S-type
+  HugeBuf<uint8_t> t(n);  // 1 = S-type (fully written below)
   t[n - 1] = 1;
   for (int32_t i = n - 2; i >= 0; --i)
     t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
@@ -158,7 +225,7 @@ static void sais_impl(const CharT* s, int32_t* SA, int32_t n, int32_t K) {
   // uint16 covers uint8 texts; uint32 covers recursion names (< 2^30).
   // Bucket counts are computed once per level, not re-scanned per pass.
   using CT = std::conditional_t<sizeof(CharT) == 1, uint16_t, uint32_t>;
-  std::vector<CT> ct(n);
+  HugeBuf<CT> ct(n);
   for (int32_t i = 0; i < n; ++i)
     ct[i] = (static_cast<CT>(s[i]) << 1) | t[i];
   std::vector<int32_t> cnt(K, 0), bkt(K);
@@ -172,7 +239,9 @@ static void sais_impl(const CharT* s, int32_t* SA, int32_t n, int32_t K) {
   };
   // The induced-sort passes are bound on dependent random loads
   // (SA[i] -> ct[j]); prefetching a few iterations ahead hides most of
-  // the miss latency on large (cache-cold) texts.
+  // the miss latency on large (cache-cold) texts. (A second prefetch stage
+  // for the bucket-store side was measured ~13% SLOWER — the extra ct loads
+  // cost more than the store prefetch saves on this core.)
   constexpr int32_t PF = 32;
   auto induce = [&]() {
     get_buckets(false);  // induce L-types left to right
@@ -272,10 +341,10 @@ extern "C" {
 // Test/debug surface for the SA-IS core. Returns 0, or -1 if n is too large.
 int32_t sais_u8(const uint8_t* s, int64_t n, int32_t* sa_out) {
   if (n + 1 > INT32_MAX - 1) return -1;
-  std::vector<uint8_t> buf(static_cast<size_t>(n) + 1);
+  HugeBuf<uint8_t> buf(static_cast<size_t>(n) + 1);
   std::memcpy(buf.data(), s, static_cast<size_t>(n));
   buf[n] = 0;  // unique minimum sentinel (caller guarantees no 0x00 in s)
-  std::vector<int32_t> sa(static_cast<size_t>(n) + 1);
+  HugeBuf<int32_t> sa(static_cast<size_t>(n) + 1);
   sais_impl<uint8_t>(buf.data(), sa.data(), static_cast<int32_t>(n + 1), 256);
   std::memcpy(sa_out, sa.data() + 1, static_cast<size_t>(n) * sizeof(int32_t));
   return 0;
@@ -293,7 +362,7 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
               int32_t* out) {
   const int64_t N = n + m + 2;  // + separator + sentinel
   if (N > INT32_MAX - 1) return -1;
-  std::vector<uint8_t> S(static_cast<size_t>(N));
+  HugeBuf<uint8_t> S(static_cast<size_t>(N));
   std::memcpy(S.data(), text, static_cast<size_t>(n));
   S[n] = 0x01;
   std::memcpy(S.data() + n + 1, pivot, static_cast<size_t>(m));
@@ -309,7 +378,7 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
   for (int64_t i = n + 1; i < N - 1; ++i)
     if (S[i] == 0x00 || S[i] == 0x24) return -2;
 
-  std::vector<int32_t> SA(static_cast<size_t>(N));
+  HugeBuf<int32_t> SA(static_cast<size_t>(N));
   sais_impl<uint8_t>(S.data(), SA.data(), static_cast<int32_t>(N), 256);
 
   // For each pivot suffix p, ms relative to the text is
@@ -322,9 +391,9 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
   // dropping the first matched char of (p, u) yields the text suffix u+1
   // still above/below p+1. This replaces Kasai + rank + full LCP (8 B/char
   // and the dominant cache-miss cost) with one int32[m] neighbor array.
-  std::vector<int32_t> nbr(static_cast<size_t>(m));
+  HugeBuf<int32_t> nbr(static_cast<size_t>(m));
   auto scan = [&](bool above) {
-    std::fill(nbr.begin(), nbr.end(), -1);
+    std::fill(nbr.data(), nbr.data() + nbr.size(), -1);
     int64_t last_text = -1;
     const int64_t step = above ? 1 : -1;
     for (int64_t r = above ? 0 : N - 1; r >= 0 && r < N; r += step) {
@@ -384,11 +453,31 @@ int64_t ms_sa(const uint8_t* text, int64_t n, const uint8_t* pivot, int64_t m,
 namespace {
 
 struct GsaHandle {
-  std::vector<uint8_t> S;        // text ++ 0x01 ++ pivot ++ 0x00
-  std::vector<int32_t> SA;       // suffix array of S
-  std::vector<uint8_t> col_of_row;  // color / kPivot / 0xFF per SA row
+  HugeBuf<uint8_t> S;        // text ++ 0x01 ++ pivot ++ 0x00
+  HugeBuf<int32_t> SA;       // suffix array of S
+  HugeBuf<int32_t> LCP;      // LCP[r] = lcp(S[SA[r-1]:], S[SA[r]:]), LCP[0]=0
+  HugeBuf<uint8_t> col_of_row;  // color / kPivot / 0xFF per SA row
   int64_t n = 0, m = 0, N = 0;
   int32_t n_colors = 0;
+  // Scan scratch planes ((m+1)*16 int32, 64 B aligned), cached across scan
+  // calls: re-allocating hundreds of MB per call re-faults every page,
+  // which measurably dominated wide-pivot scans. Keyed by thread slot.
+  std::mutex scratch_mu;
+  std::vector<int32_t*> scratch;
+  int32_t* plane(int32_t slot) {
+    std::lock_guard<std::mutex> g(scratch_mu);
+    if (static_cast<size_t>(slot) >= scratch.size())
+      scratch.resize(slot + 1, nullptr);
+    if (!scratch[slot])
+      scratch[slot] = static_cast<int32_t*>(::operator new(
+          (static_cast<size_t>(m) + 1) * 16 * sizeof(int32_t),
+          std::align_val_t(64)));
+    return scratch[slot];
+  }
+  ~GsaHandle() {
+    for (int32_t* p : scratch)
+      if (p) ::operator delete(p, std::align_val_t(64));
+  }
 };
 
 constexpr uint8_t kPivotMark = 0xFE;
@@ -412,7 +501,7 @@ int64_t gsa_build(const uint8_t* text, int64_t n, const int64_t* unit_ends,
   h->m = m;
   h->N = N;
   h->n_colors = n_colors;
-  h->S.resize(static_cast<size_t>(N));
+  h->S.alloc(static_cast<size_t>(N));
   std::memcpy(h->S.data(), text, static_cast<size_t>(n));
   h->S[n] = 0x01;
   std::memcpy(h->S.data() + n + 1, pivot, static_cast<size_t>(m));
@@ -424,7 +513,7 @@ int64_t gsa_build(const uint8_t* text, int64_t n, const int64_t* unit_ends,
 
   // Per-char color of text positions (temporary — collapsed into the
   // per-SA-row table below).
-  std::vector<uint8_t> cc(static_cast<size_t>(n));
+  HugeBuf<uint8_t> cc(static_cast<size_t>(n));
   {
     int64_t pos = 0;
     for (int64_t u = 0; u < n_units; ++u) {
@@ -435,12 +524,12 @@ int64_t gsa_build(const uint8_t* text, int64_t n, const int64_t* unit_ends,
     if (pos != n) return -3;
   }
 
-  h->SA.resize(static_cast<size_t>(N));
+  h->SA.alloc(static_cast<size_t>(N));
   sais_impl<uint8_t>(h->S.data(), h->SA.data(), static_cast<int32_t>(N), 256);
 
   // One pass of prefetched random loads turns every later color scan into a
   // sequential read: color (or pivot marker) of each SA row.
-  h->col_of_row.resize(static_cast<size_t>(N));
+  h->col_of_row.alloc(static_cast<size_t>(N));
   {
     constexpr int64_t PF = 24;
     const int32_t* SA = h->SA.data();
@@ -453,6 +542,48 @@ int64_t gsa_build(const uint8_t* text, int64_t n, const int64_t* unit_ends,
       h->col_of_row[r] = p < n ? cc[p] : (p > n && p < N - 1 ? kPivotMark : 0xFF);
     }
   }
+
+  // LCP array (Kasai, text order, amortized O(N)): built ONCE per group so
+  // every color scan is a pure register-min pass over sequential int32
+  // reads — the per-color random text reads that dominated pooled builds
+  // (gsa_scan's old char re-extension) disappear entirely. lcp(p, u) for a
+  // pivot row p and text row u is the range-min of LCP over (rank(u),
+  // rank(p)] — exact for ANY two suffixes, and inherently stops at the
+  // first byte mismatch, so matches can never cross the pivot's 0x01 record
+  // joiners or the text's '$' terminators (those bytes never appear in the
+  // other string).
+  {
+    h->LCP.alloc(static_cast<size_t>(N));
+    HugeBuf<int32_t> rank(static_cast<size_t>(N));
+    const int32_t* SA = h->SA.data();
+    const uint8_t* S = h->S.data();
+    for (int64_t r = 0; r < N; ++r) rank[SA[r]] = static_cast<int32_t>(r);
+    h->LCP[0] = 0;
+    int64_t k = 0;
+    // Two prefetch stages: rank -> SA at PF1, then (with that line arrived)
+    // SA -> S[j + k] at PF2 using the current k as the position estimate (k
+    // drifts by <= PF2 between issue and use; one cache line absorbs it).
+    constexpr int64_t PF1 = 24, PF2 = 8;
+    for (int64_t i = 0; i < N; ++i) {
+      if (i + PF1 < N) {
+        int32_t rf = rank[i + PF1];
+        if (rf > 0) __builtin_prefetch(&SA[rf - 1]);
+      }
+      if (i + PF2 < N) {
+        int32_t rf = rank[i + PF2];
+        if (rf > 0) __builtin_prefetch(&S[SA[rf - 1] + k]);
+      }
+      int32_t r = rank[i];
+      if (r == 0) {
+        k = 0;
+        continue;
+      }
+      int64_t j = SA[r - 1];
+      while (S[i + k] == S[j + k]) ++k;  // unique 0x00 sentinel terminates
+      h->LCP[r] = static_cast<int32_t>(k);
+      if (k) --k;
+    }
+  }
   *out_handle = h.release();
   return 0;
 }
@@ -460,105 +591,160 @@ int64_t gsa_build(const uint8_t* text, int64_t n, const int64_t* unit_ends,
 void gsa_free(void* handle) { delete static_cast<GsaHandle*>(handle); }
 
 // Matching statistics for colors [c0, c1) of a built group, written to
-// out[(c - c0) * m + i]. Blocked multi-color neighbor scans: ONE sequential
-// SA pass serves a block of up to kBlk colors (a last-seen register per
-// color; each pivot row stores the whole block's neighbors contiguously), so
-// the full-SA row-visit cost is 2*ceil(C/kBlk)*N instead of 2*C*N — at HPRC
-// widths (C~90) these scans, not SA-IS, dominate the pooled build. The LCP
-// extension then runs per color with the same PLCP carry as ms_sa. Scratch:
-// m*kBlk int32 per thread (the pivot is far smaller than the text in pooled
-// groups). `n_threads` parallelizes the independent blocks.
-// Returns 0, or -3 on a bad color range.
+// out[(c - c0) * m + i]. Per color, ms[i] = max over the nearest same-color
+// text suffix above/below pivot row i in SA order of their lcp — and with
+// the group's LCP array prebuilt (gsa_build), that lcp is a running MIN of
+// sequential LCP reads since the color's last occurrence. One pass serves a
+// block of kBlk colors (a min-register per color, SIMD-friendly): per row,
+// regs = min(regs, LCP[r]); a color row resets its register to +inf; a
+// pivot row stores the whole block's registers into one contiguous scratch
+// row. Two directions max-merge. NO text bytes are touched at all — the
+// old per-color LCP char re-extension (random reads over a group-sized
+// text, the measured pooled-build bottleneck) is gone; row-visit cost is
+// 2*ceil(C/kBlk)*N sequential int32 reads with 16-lane vector mins.
+// Scratch: two m*kBlk int32 planes per thread (one per direction). `n_threads` parallelizes the
+// independent blocks. Returns 0, or -3 on a bad color range.
 int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
                  int32_t n_threads) {
   GsaHandle& H = *static_cast<GsaHandle*>(handle);
   if (c0 < 0 || c1 <= c0 || c1 > H.n_colors) return -3;
   const int64_t n = H.n, m = H.m, N = H.N;
-  const uint8_t* S = H.S.data();
   const int32_t* SA = H.SA.data();
+  const int32_t* LCP = H.LCP.data();
   const uint8_t* col_of_row = H.col_of_row.data();
+  constexpr int32_t kInf = INT32_MAX;
 
   constexpr int32_t kBlk = 16;
-  auto scan_block = [&](bool above, int32_t b0, int32_t nb, int32_t* nbr_blk) {
-    int32_t last[kBlk];
-    for (int32_t b = 0; b < nb; ++b) last[b] = -1;
-    const int64_t step = above ? 1 : -1;
-    const int32_t bhi = b0 + nb;
-    for (int64_t r = above ? 0 : N - 1; r >= 0 && r < N; r += step) {
-      uint8_t c = col_of_row[r];
-      if (c == kPivotMark) {
-        // Every pivot row is visited exactly once: no pre-fill needed.
-        int32_t* dst = nbr_blk + static_cast<size_t>(SA[r] - n - 1) * nb;
-        for (int32_t b = 0; b < nb; ++b) dst[b] = last[b];
-      } else if (c >= b0 && c < bhi) {
-        last[c - b0] = SA[r];
-      }
+  // One 16-lane int32 vector = the whole block's registers. GCC vector
+  // extensions compile to AVX-512/AVX2/SSE per -march without intrinsics.
+  typedef int32_t v16 __attribute__((vector_size(kBlk * sizeof(int32_t))));
+  auto vmin = [](v16 a, v16 b) -> v16 { return a < b ? a : b; };
+  auto vmax = [](v16 a, v16 b) -> v16 { return a > b ? a : b; };
+  auto vload = [](const int32_t* p) -> v16 {
+    v16 v;
+    __builtin_memcpy(&v, p, sizeof(v));
+    return v;
+  };
+  auto vstore = [](int32_t* p, v16 v) { __builtin_memcpy(p, &v, sizeof(v)); };
+  auto vsplat = [](int32_t x) -> v16 { return (v16){} + x; };
+  const v16 lane_ids = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+  // Non-temporal full-line stores for the scratch planes: each pivot row
+  // writes exactly one 64 B line at an effectively random offset in an
+  // m-row plane (hundreds of MB at chromosome scale) — regular stores pay a
+  // read-for-ownership miss per line, which measurably dominated the pass.
+  // Each direction streams into its OWN plane (NT stores cannot
+  // read-modify-write), and the emit pass max-merges both sequentially.
+  auto vstream = [](int32_t* p, v16 v) {
+#if defined(__AVX512F__)
+    _mm512_stream_si512(reinterpret_cast<__m512i*>(p), (__m512i)v);
+#elif defined(__AVX2__)
+    __m256i half[2];
+    __builtin_memcpy(half, &v, sizeof(half));
+    _mm256_stream_si256(reinterpret_cast<__m256i*>(p), half[0]);
+    _mm256_stream_si256(reinterpret_cast<__m256i*>(p) + 1, half[1]);
+#elif defined(__SSE2__)
+    __m128i q[4];
+    __builtin_memcpy(q, &v, sizeof(q));
+    for (int i = 0; i < 4; ++i)
+      _mm_stream_si128(reinterpret_cast<__m128i*>(p) + i, q[i]);
+#else
+    __builtin_memcpy(p, &v, sizeof(v));
+#endif
+  };
+  auto fence = [] {
+#if defined(__x86_64__) || defined(__i386__)
+    _mm_sfence();  // NT stores are weakly ordered; emit reads follow
+#endif
+  };
+  auto scan_block = [&](int32_t b0, int32_t nb, int32_t* tmp1_arg,
+                        int32_t* tmp2_arg) {
+    // Local __restrict__ copies of the captured pointers: reference capture
+    // plus the int32 stores through tmp would otherwise force the compiler
+    // to reload every pointer (and N) from the closure each iteration
+    // (observed: ~3x slower loop).
+    const int32_t* __restrict__ lcp = LCP;
+    const uint8_t* __restrict__ col = col_of_row;
+    const int32_t* __restrict__ sa = SA;
+    int32_t* __restrict__ tmp1 = tmp1_arg;
+    int32_t* __restrict__ tmp2 = tmp2_arg;
+    const int64_t NN = N, mm = m, nn = n;
+    // Direction 1 (top-down): regs[b] = lcp(row r's suffix, nearest color-b
+    // suffix above) as the running min of LCP since that color's last row;
+    // -1 = no color-b row above yet (min keeps it; clamped to 0 at emit).
+    v16 regs = vsplat(-1);
+    for (int64_t r = 0; r < NN; ++r) {
+      regs = vmin(regs, vsplat(lcp[r]));
+      const uint8_t c = col[r];
+      // Lane reset runs branchless every row (in-block color rows are ~half
+      // of all rows and data-random — a branch here mispredicts its way to
+      // ~20 cycles/row); lane -1 matches nothing for non-color rows.
+      const int32_t rel = static_cast<int32_t>(c) - b0;
+      const int32_t lane =
+          static_cast<uint32_t>(rel) < static_cast<uint32_t>(nb) ? rel : -1;
+      regs = lane_ids == vsplat(lane) ? vsplat(kInf) : regs;
+      // Pivot rows are few (m/N) and the branch mostly not-taken: cheaper
+      // than an unconditional 64 B store per row. Reset-then-store is
+      // order-safe (a row is pivot xor color).
+      if (c == kPivotMark)
+        vstream(tmp1 + (static_cast<size_t>(sa[r]) - nn - 1) * kBlk, regs);
     }
-    // Interleaved LCP extension: ONE pass over pivot positions serves the
-    // whole block — each position's nbr row (nb int32, one cache line) is
-    // read once instead of once per color, and each color keeps its own
-    // PLCP carry. The pivot-side reads S[p+h] stay sequential (p+h is
-    // nondecreasing under the carry); the text side prefetches the next
-    // rows' S[u+h] with the current carry as the position estimate.
-    int64_t hs[kBlk];
-    for (int32_t b = 0; b < nb; ++b) hs[b] = 0;
-    int32_t* out_base = out + static_cast<size_t>(b0 - c0) * m;
-    for (int64_t i = 0; i < m; ++i) {
-      if (i + 4 < m) {
-        const int32_t* prow = nbr_blk + static_cast<size_t>(i + 4) * nb;
-        for (int32_t b = 0; b < nb; ++b) {
-          int32_t v = prow[b];
-          if (v >= 0) __builtin_prefetch(&S[v + hs[b]]);
-        }
-      }
-      const int32_t* row = nbr_blk + static_cast<size_t>(i) * nb;
+    // Direction 2 (bottom-up): the min now accumulates LCP[r+1] (the gap
+    // BELOW row r), so the per-row update order flips: handle the row, then
+    // fold its LCP into the registers for the next (higher) row.
+    regs = vsplat(-1);
+    for (int64_t r = NN - 1; r >= 0; --r) {
+      const uint8_t c = col[r];
+      if (c == kPivotMark)
+        vstream(tmp2 + (static_cast<size_t>(sa[r]) - nn - 1) * kBlk, regs);
+      const int32_t rel = static_cast<int32_t>(c) - b0;
+      const int32_t lane =
+          static_cast<uint32_t>(rel) < static_cast<uint32_t>(nb) ? rel : -1;
+      regs = lane_ids == vsplat(lane) ? vsplat(kInf) : regs;
+      regs = vmin(regs, vsplat(lcp[r]));
+    }
+    fence();
+    // Emit: max-merge the two direction planes and transpose into the
+    // color-major output. Blocked over row chunks so each plane is read
+    // ONCE (a color-outer loop would re-stream both full planes per color
+    // — nb x the traffic, measured dominating the scan at wide m).
+    constexpr int64_t kChunk = 4096;  // chunk rows: 2*4096*64 B, L2-resident
+    for (int64_t i0 = 0; i0 < mm; i0 += kChunk) {
+      const int64_t i1 = std::min(i0 + kChunk, mm);
       for (int32_t b = 0; b < nb; ++b) {
-        int64_t u = row[b];
-        int64_t& h = hs[b];
-        if (u < 0) {
-          h = 0;
-          continue;
+        int32_t* __restrict__ out_c =
+            out + static_cast<size_t>(b0 - c0 + b) * mm;
+        const int32_t* __restrict__ s1 = tmp1 + b;
+        const int32_t* __restrict__ s2 = tmp2 + b;
+        for (int64_t i = i0; i < i1; ++i) {
+          const size_t o = static_cast<size_t>(i) * kBlk;
+          out_c[i] = std::max(std::max(s1[o], s2[o]), 0);
         }
-        int64_t p = n + 1 + i;
-        while (S[p + h] == S[u + h]) ++h;  // 0x00 sentinel is unique: terminates
-        int32_t* out_c = out_base + static_cast<size_t>(b) * m;
-        if (h > out_c[i]) out_c[i] = static_cast<int32_t>(h);
-        // Carry h-1 iff u+1 is still a same-color text suffix: h > 0 implies
-        // S[u] is not this unit's '$', so u+1 stays inside the unit (same
-        // color) — except at the very last text position, as in ms_sa.
-        if (u == n - 1) h = 0;
-        else if (h) --h;
       }
     }
   };
-  std::fill(out, out + static_cast<size_t>(c1 - c0) * m, 0);
   // Blocks align to absolute color multiples of kBlk so any [c0, c1) split
-  // of the full range visits identical blocks (scan order is irrelevant to
-  // the result; alignment just keeps block sizes regular).
+  // of the full range visits identical blocks (each color's result is
+  // independent; alignment just keeps block sizes regular).
   const int32_t first_blk = c0 / kBlk;
   const int32_t last_blk = (c1 - 1) / kBlk;
   const int32_t n_blocks = last_blk - first_blk + 1;
   const int32_t T = std::max<int32_t>(1, std::min<int32_t>(n_threads, n_blocks));
-  auto run_blocks = [&](int32_t t, std::vector<int32_t>& nbr_blk) {
+  auto run_blocks = [&](int32_t t) {
+    int32_t* tmp1 = H.plane(2 * t);
+    int32_t* tmp2 = H.plane(2 * t + 1);
     for (int32_t blk = first_blk + t; blk <= last_blk; blk += T) {
       int32_t b0 = std::max(blk * kBlk, c0);
       int32_t nb = std::min((blk + 1) * kBlk, c1) - b0;
-      scan_block(true, b0, nb, nbr_blk.data());
-      scan_block(false, b0, nb, nbr_blk.data());
+      scan_block(b0, nb, tmp1, tmp2);
     }
   };
   if (T == 1) {
-    std::vector<int32_t> nbr_blk(static_cast<size_t>(m) * kBlk);
-    run_blocks(0, nbr_blk);
+    run_blocks(0);
   } else {
     std::vector<std::thread> pool;
     pool.reserve(T);
-    for (int32_t t = 0; t < T; ++t) {
-      pool.emplace_back([&, t]() {
-        std::vector<int32_t> nbr_blk(static_cast<size_t>(m) * kBlk);
-        run_blocks(t, nbr_blk);
-      });
-    }
+    for (int32_t t = 0; t < T; ++t)
+      pool.emplace_back([&, t]() { run_blocks(t); });
     for (auto& th : pool) th.join();
   }
   return 0;
@@ -584,6 +770,21 @@ int64_t ms_gsa(const uint8_t* text, int64_t n, const int64_t* unit_ends,
                const uint8_t* pivot, int64_t m, int32_t* out) {
   return ms_gsa_mt(text, n, unit_ends, n_units, unit_color, n_colors, pivot,
                    m, out, 1);
+}
+
+// Convert start-MS of RC(P) vs a text T into start-MS of P vs RC(T)
+// (the forward-only pooled layout's RC fold — see index/ms.py _rc_start_ms
+// for the derivation). With f(e) = e - msR[m-e] nondecreasing,
+// out[p] = max{ e : f(e) <= p } - p, computed by one two-pointer merge:
+// both f's argument and p advance monotonically. Replaces a numpy
+// histogram+cumsum chain that allocated several m-sized temporaries per
+// color and measurably dominated wide pooled builds.
+void ms_rc_start(const int32_t* ms_rc, int64_t m, int32_t* out) {
+  int64_t e = 0;  // next candidate; f(e) = e - ms_rc[m-e] (f(0) = 0)
+  for (int64_t p = 0; p < m; ++p) {
+    while (e < m && (e + 1) - ms_rc[m - 1 - e] <= p) ++e;
+    out[p] = static_cast<int32_t>(e - p);
+  }
 }
 
 // Build the automaton over reverse(text). Returns nullptr on alphabet
