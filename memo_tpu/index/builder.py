@@ -227,7 +227,6 @@ def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) ->
     # DAP assembly: column j = document j in list order (reference index.sh:83).
     # Per-document builds are independent (reference index.sh:59-80 runs them
     # sequentially); the C++ MS engine releases the GIL, so threads scale.
-    ms_by_record = [np.zeros((len(r), len(doc_paths)), np.int32) for r in pivot_records]
     pivot_chars = sum(len(r) + 1 for r in pivot_records)
     pooled = (
         cfg.pooled
@@ -235,34 +234,30 @@ def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) ->
         else _auto_pooled(doc_paths, pivot_chars, cfg)
     )
     if pooled:
-        for j, cols in enumerate(_pooled_ms(doc_paths, pivot_records, pivot_sha, cfg)):
-            for i, col in enumerate(cols):
-                ms_by_record[i][:, j] = col
+        cols_by_doc = _pooled_ms(doc_paths, pivot_records, pivot_sha, cfg)
     elif cfg.jobs > 1 and len(doc_paths) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=cfg.jobs) as pool:
-            all_cols = list(
+            cols_by_doc = list(
                 pool.map(
                     lambda p: _ms_for_document(p, pivot_records, pivot_sha, cfg),
                     doc_paths,
                 )
             )
-        for j, cols in enumerate(all_cols):
-            for i, col in enumerate(cols):
-                ms_by_record[i][:, j] = col
     else:
         # Serial over documents: spend the job budget inside each document
         # (parallel MS groups) instead — the single-chromosome build case.
-        for j, doc_path in enumerate(doc_paths):
-            cols = _ms_for_document(
-                doc_path, pivot_records, pivot_sha, cfg, inner_jobs=cfg.jobs
-            )
-            for i, col in enumerate(cols):
-                ms_by_record[i][:, j] = col
+        cols_by_doc = [
+            _ms_for_document(p, pivot_records, pivot_sha, cfg, inner_jobs=cfg.jobs)
+            for p in doc_paths
+        ]
 
-    store = store_from_ms(
-        ms_by_record,
+    # The store is extracted straight from the per-document columns in
+    # streamed row chunks — the row-major [P, D] DAP matrix (46 GB at
+    # 128 Mbp x 90 docs) is materialized ONLY for the compat artifacts.
+    store = store_from_doc_columns(
+        cols_by_doc,
         record_names=[r.name for r in pivot_records],
         record_lens=[len(r) for r in pivot_records],
         n_docs=n_docs,
@@ -270,7 +265,70 @@ def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) ->
     )
 
     if cfg.emit_compat:
+        ms_by_record = [
+            np.zeros((len(r), len(doc_paths)), np.int32) for r in pivot_records
+        ]
+        for j, cols in enumerate(cols_by_doc):
+            for i, col in enumerate(cols):
+                ms_by_record[i][:, j] = col
         emit_compat_artifacts(store, ms_by_record, pivot_path, cfg)
+    return store
+
+
+def store_from_doc_columns(
+    cols_by_doc: list[list[np.ndarray]],
+    record_names: list[str],
+    record_lens: list[int],
+    n_docs: int,
+    kind: str,
+    chunk_rows: int = 1 << 22,
+) -> IntervalStore:
+    """Per-document MS columns -> sorted overlap-interval store, streaming
+    row chunks through the carry-chunked extractor
+    (:class:`memo_tpu.index.intervals.StreamingOverlapExtractor`) — the
+    row-major DAP never materializes, which is what makes the combined
+    chromosome x pangenome build (128 Mbp x 90 docs, a ~46 GB DAP) fit in
+    RAM alongside the columns themselves."""
+    from memo_tpu.index.intervals import StreamingOverlapExtractor
+
+    order_sort = kind == "conservation"
+    D = len(cols_by_doc)
+    rec_ids, starts, ends, orders = [], [], [], []
+    for r, name in enumerate(record_names):
+        L = int(record_lens[r])
+        with stage_timer(f"intervals:{name}"):
+            ex = StreamingOverlapExtractor(D, L, order_sort=order_sort)
+            parts_s, parts_e, parts_o = [], [], []
+            buf = np.empty((min(chunk_rows, max(L, 1)), D), np.int32)
+            for lo in range(0, L, chunk_rows):
+                hi = min(lo + chunk_rows, L)
+                chunk = buf[: hi - lo]
+                for j in range(D):
+                    chunk[:, j] = cols_by_doc[j][r][lo:hi]
+                s, e, o = ex.feed(chunk)
+                parts_s.append(s)
+                parts_e.append(e)
+                parts_o.append(o)
+            s, e, o = ex.finish()
+            parts_s.append(s)
+            parts_e.append(e)
+            parts_o.append(o)
+        n_iv = sum(p.shape[0] for p in parts_s)
+        rec_ids.append(np.full(n_iv, r, np.int32))
+        starts.append(np.concatenate(parts_s) if parts_s else np.zeros(0, np.int64))
+        ends.append(np.concatenate(parts_e) if parts_e else np.zeros(0, np.int64))
+        orders.append(np.concatenate(parts_o) if parts_o else np.zeros(0, np.int64))
+    store = IntervalStore(
+        record_names=list(record_names),
+        record_lens=np.asarray(record_lens, np.int64),
+        n_docs=n_docs,
+        kind=kind,
+        rec_id=np.concatenate(rec_ids) if rec_ids else np.zeros(0, np.int32),
+        start=np.concatenate(starts) if starts else np.zeros(0, np.int64),
+        end=np.concatenate(ends) if ends else np.zeros(0, np.int64),
+        order=np.concatenate(orders) if orders else np.zeros(0, np.int64),
+    )
+    log.info("built %s index: %s", kind, store.stats())
     return store
 
 

@@ -220,6 +220,98 @@ def mem_overlap_intervals(
     )
 
 
+class StreamingOverlapExtractor:
+    """Chunk-at-a-time MEM-overlap extraction for one pivot record.
+
+    Feeds row chunks of the (optionally order-sorted) MS matrix through the
+    carry-chunked C pass (libms ms_overlaps_chunk) — the combined
+    chromosome x pangenome build (128 Mbp x 90 docs) streams chunks gathered
+    from per-document columns instead of materializing a ~46 GB DAP.
+    Byte-identical emission order to :func:`mem_overlap_intervals`
+    (property-tested). Falls back to the numpy carry path without libms.
+
+    Usage: ``feed`` every chunk in order, then ``finish`` once.
+    """
+
+    def __init__(self, n_cols: int, record_len: int, order_sort: bool = False):
+        self.D = int(n_cols)
+        self.L = int(record_len)
+        self.order_sort = bool(order_sort)
+        self.pos = 0
+        self._prev_end = np.full(self.D, -1, np.int64)
+        self._prev_row = np.zeros(self.D, np.int32)
+        from memo_tpu.native.build import load_libms
+
+        self._lib = load_libms()
+        self._carry = None if self._lib is not None else _ColumnCarry.fresh(self.D)
+        self._done = False
+
+    def _native(self, ms: np.ndarray, is_final: bool):
+        import ctypes
+
+        P = ms.shape[0] if ms.size else 0
+        ms_c = np.ascontiguousarray(ms, np.int32) if P else np.zeros((0, self.D), np.int32)
+        cap = (
+            int(np.count_nonzero(ms_c[:-1] <= ms_c[1:]))
+            + 2 * self.D
+            + (self.D if self.pos == 0 else 0)
+        )
+        s = np.empty(cap, np.int64)
+        e = np.empty(cap, np.int64)
+        o32 = np.empty(cap, np.int32)
+        k = self._lib.ms_overlaps_chunk(
+            ms_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            P,
+            self.D,
+            self.pos,
+            self.L,
+            1 if is_final else 0,
+            self._prev_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._prev_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            o32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if k < 0:  # cap bound violated — cannot happen by construction
+            raise RuntimeError("ms_overlaps_chunk capacity bound violated")
+        if P:
+            self._prev_row = ms_c[-1].copy()
+        self.pos += P
+        return s[:k], e[:k], o32[:k].astype(np.int64)
+
+    def feed(self, ms_chunk: np.ndarray):
+        """Process the next row chunk; returns (starts, ends, orders)."""
+        if self._done:
+            raise RuntimeError("extractor already finished")
+        ms_chunk = np.asarray(ms_chunk)
+        if ms_chunk.ndim != 2 or ms_chunk.shape[1] != self.D:
+            raise ValueError(f"chunk must be [rows, {self.D}]")
+        if self.order_sort:
+            ms_chunk = -np.sort(-ms_chunk, axis=1)
+        if self._lib is not None:
+            return self._native(ms_chunk, is_final=False)
+        s, e, o, self._carry = _emit_chunk(ms_chunk, self.pos, self._carry)
+        self.pos += ms_chunk.shape[0]
+        return s, e, o
+
+    def finish(self):
+        """Emit the end-of-record sentinel row; returns (starts, ends, orders)."""
+        if self._done:
+            raise RuntimeError("extractor already finished")
+        self._done = True
+        if self._lib is not None:
+            if self.pos == 0:  # empty record: reference emits nothing
+                return (np.empty(0, np.int64),) * 3
+            return self._native(np.zeros((0, self.D), np.int32), is_final=True)
+        if self.pos == 0:
+            return (np.empty(0, np.int64),) * 3
+        self._carry.prev_ms_row = None
+        sent = np.full((1, self.D), self.L, dtype=np.int64)
+        s, e, o, self._carry = _emit_chunk(sent, self.L, self._carry)
+        return s, e, o
+
+
 def mem_intervals(
     ms: np.ndarray,
     record_len: int | None = None,

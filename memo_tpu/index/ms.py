@@ -585,7 +585,16 @@ def pangenome_ms(
     import threading
 
     merge_lock = threading.Lock()  # doc rows can span groups (max-merge)
-    GSA_BLOCK = 16  # colors per scan call (= libms kBlk): scratch = 16 * m int32
+    # Colors per scan call, capped by scratch memory: each call costs two
+    # (m+1) x block int32 scratch planes in the C side plus the [block, m]
+    # result — 12*m bytes per color. 16 (= libms kBlk) whenever it fits;
+    # chromosome-scale pivots (m ~ 257M at 128 Mbp) drop to small blocks so
+    # the planes stay in the MEMO_TPU_GSA_SCRATCH_BYTES budget (default 8G).
+    import os as _os
+
+    _scratch = int(_os.environ.get("MEMO_TPU_GSA_SCRATCH_BYTES", 8 << 30))
+    _conc = min(max(jobs, 1), len(groups)) or 1  # concurrent groups w/ planes
+    GSA_BLOCK = max(1, min(16, _scratch // max(12 * pivot_chars * _conc, 1)))
 
     def run_group(group: list[tuple[FastaRecord, int]]):
         docs_here = sorted({j for _, j in group})

@@ -124,6 +124,21 @@ def load_libms() -> ctypes.CDLL | None:
         ]
         lib.gsa_free.restype = None
         lib.gsa_free.argtypes = [ctypes.c_void_p]
+        lib.ms_overlaps_chunk.restype = ctypes.c_int64
+        lib.ms_overlaps_chunk.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # ms chunk [P, D]
+            ctypes.c_int64,  # P (chunk rows)
+            ctypes.c_int64,  # D
+            ctypes.c_int64,  # pos0
+            ctypes.c_int64,  # L
+            ctypes.c_int32,  # is_final (emit sentinel)
+            ctypes.POINTER(ctypes.c_int32),  # prev_row [D]
+            ctypes.POINTER(ctypes.c_int64),  # prev_end [D] (in/out)
+            ctypes.c_int64,  # cap
+            ctypes.POINTER(ctypes.c_int64),  # out_s
+            ctypes.POINTER(ctypes.c_int64),  # out_e
+            ctypes.POINTER(ctypes.c_int32),  # out_o
+        ]
         lib.ms_rc_start.restype = None
         lib.ms_rc_start.argtypes = [
             ctypes.POINTER(ctypes.c_int32),  # ms_rc [m]

@@ -459,24 +459,32 @@ struct GsaHandle {
   HugeBuf<uint8_t> col_of_row;  // color / kPivot / 0xFF per SA row
   int64_t n = 0, m = 0, N = 0;
   int32_t n_colors = 0;
-  // Scan scratch planes ((m+1)*16 int32, 64 B aligned), cached across scan
-  // calls: re-allocating hundreds of MB per call re-faults every page,
-  // which measurably dominated wide-pivot scans. Keyed by thread slot.
+  // Scan scratch planes ((m+1)*stride int32, 64 B aligned), cached across
+  // scan calls: re-allocating hundreds of MB per call re-faults every page,
+  // which measurably dominated wide-pivot scans. Keyed by thread slot; the
+  // row stride follows the scan call's widest block (narrow strides keep
+  // chromosome-scale pivots — m in the hundreds of millions — affordable:
+  // a fixed 16-lane stride would be 16 GB per plane at m = 257M).
   std::mutex scratch_mu;
-  std::vector<int32_t*> scratch;
-  int32_t* plane(int32_t slot) {
+  std::vector<std::pair<int32_t*, int32_t>> scratch;  // (plane, stride)
+  int32_t* plane(int32_t slot, int32_t stride) {
     std::lock_guard<std::mutex> g(scratch_mu);
     if (static_cast<size_t>(slot) >= scratch.size())
-      scratch.resize(slot + 1, nullptr);
-    if (!scratch[slot])
-      scratch[slot] = static_cast<int32_t*>(::operator new(
-          (static_cast<size_t>(m) + 1) * 16 * sizeof(int32_t),
+      scratch.resize(slot + 1, {nullptr, 0});
+    auto& e = scratch[slot];
+    if (e.second < stride) {
+      if (e.first) ::operator delete(e.first, std::align_val_t(64));
+      e.first = static_cast<int32_t*>(::operator new(
+          (static_cast<size_t>(m) + 1) * stride * sizeof(int32_t),
           std::align_val_t(64)));
-    return scratch[slot];
+      hint_huge(e.first, (static_cast<size_t>(m) + 1) * stride * sizeof(int32_t));
+      e.second = stride;
+    }
+    return e.first;
   }
   ~GsaHandle() {
-    for (int32_t* p : scratch)
-      if (p) ::operator delete(p, std::align_val_t(64));
+    for (auto& e : scratch)
+      if (e.first) ::operator delete(e.first, std::align_val_t(64));
   }
 };
 
@@ -656,8 +664,8 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
     _mm_sfence();  // NT stores are weakly ordered; emit reads follow
 #endif
   };
-  auto scan_block = [&](int32_t b0, int32_t nb, int32_t* tmp1_arg,
-                        int32_t* tmp2_arg) {
+  auto scan_block = [&](int32_t b0, int32_t nb, int32_t stride,
+                        int32_t* tmp1_arg, int32_t* tmp2_arg) {
     // Local __restrict__ copies of the captured pointers: reference capture
     // plus the int32 stores through tmp would otherwise force the compiler
     // to reload every pointer (and N) from the closure each iteration
@@ -668,6 +676,12 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
     int32_t* __restrict__ tmp1 = tmp1_arg;
     int32_t* __restrict__ tmp2 = tmp2_arg;
     const int64_t NN = N, mm = m, nn = n;
+    const bool full_line = stride == kBlk;
+    const size_t row_bytes = static_cast<size_t>(nb) * sizeof(int32_t);
+    // Future pivot rows' scratch lines are known PF rows ahead (sa[] is a
+    // sequential read): prefetch-for-write hides the RFO miss that partial
+    // (non-NT) row stores otherwise pay on a multi-GB plane.
+    constexpr int64_t PFW = 24;
     // Direction 1 (top-down): regs[b] = lcp(row r's suffix, nearest color-b
     // suffix above) as the running min of LCP since that color's last row;
     // -1 = no color-b row above yet (min keeps it; clamped to 0 at emit).
@@ -682,11 +696,17 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
       const int32_t lane =
           static_cast<uint32_t>(rel) < static_cast<uint32_t>(nb) ? rel : -1;
       regs = lane_ids == vsplat(lane) ? vsplat(kInf) : regs;
+      if (!full_line && r + PFW < NN && col[r + PFW] == kPivotMark)
+        __builtin_prefetch(
+            tmp1 + (static_cast<size_t>(sa[r + PFW]) - nn - 1) * stride, 1);
       // Pivot rows are few (m/N) and the branch mostly not-taken: cheaper
-      // than an unconditional 64 B store per row. Reset-then-store is
-      // order-safe (a row is pivot xor color).
-      if (c == kPivotMark)
-        vstream(tmp1 + (static_cast<size_t>(sa[r]) - nn - 1) * kBlk, regs);
+      // than an unconditional store per row. Reset-then-store is order-safe
+      // (a row is pivot xor color).
+      if (c == kPivotMark) {
+        int32_t* dst = tmp1 + (static_cast<size_t>(sa[r]) - nn - 1) * stride;
+        if (full_line) vstream(dst, regs);
+        else __builtin_memcpy(dst, &regs, row_bytes);
+      }
     }
     // Direction 2 (bottom-up): the min now accumulates LCP[r+1] (the gap
     // BELOW row r), so the per-row update order flips: handle the row, then
@@ -694,8 +714,14 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
     regs = vsplat(-1);
     for (int64_t r = NN - 1; r >= 0; --r) {
       const uint8_t c = col[r];
-      if (c == kPivotMark)
-        vstream(tmp2 + (static_cast<size_t>(sa[r]) - nn - 1) * kBlk, regs);
+      if (!full_line && r - PFW >= 0 && col[r - PFW] == kPivotMark)
+        __builtin_prefetch(
+            tmp2 + (static_cast<size_t>(sa[r - PFW]) - nn - 1) * stride, 1);
+      if (c == kPivotMark) {
+        int32_t* dst = tmp2 + (static_cast<size_t>(sa[r]) - nn - 1) * stride;
+        if (full_line) vstream(dst, regs);
+        else __builtin_memcpy(dst, &regs, row_bytes);
+      }
       const int32_t rel = static_cast<int32_t>(c) - b0;
       const int32_t lane =
           static_cast<uint32_t>(rel) < static_cast<uint32_t>(nb) ? rel : -1;
@@ -707,7 +733,7 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
     // color-major output. Blocked over row chunks so each plane is read
     // ONCE (a color-outer loop would re-stream both full planes per color
     // — nb x the traffic, measured dominating the scan at wide m).
-    constexpr int64_t kChunk = 4096;  // chunk rows: 2*4096*64 B, L2-resident
+    const int64_t kChunk = std::max<int64_t>(65536 / (stride * 4), 1024);
     for (int64_t i0 = 0; i0 < mm; i0 += kChunk) {
       const int64_t i1 = std::min(i0 + kChunk, mm);
       for (int32_t b = 0; b < nb; ++b) {
@@ -716,7 +742,7 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
         const int32_t* __restrict__ s1 = tmp1 + b;
         const int32_t* __restrict__ s2 = tmp2 + b;
         for (int64_t i = i0; i < i1; ++i) {
-          const size_t o = static_cast<size_t>(i) * kBlk;
+          const size_t o = static_cast<size_t>(i) * stride;
           out_c[i] = std::max(std::max(s1[o], s2[o]), 0);
         }
       }
@@ -729,13 +755,21 @@ int64_t gsa_scan(void* handle, int32_t c0, int32_t c1, int32_t* out,
   const int32_t last_blk = (c1 - 1) / kBlk;
   const int32_t n_blocks = last_blk - first_blk + 1;
   const int32_t T = std::max<int32_t>(1, std::min<int32_t>(n_threads, n_blocks));
+  // Stride = the call's widest block: a narrow color span keeps the planes
+  // proportional to the colors actually scanned.
+  int32_t stride = 1;
+  for (int32_t blk = first_blk; blk <= last_blk; ++blk) {
+    int32_t b0 = std::max(blk * kBlk, c0);
+    int32_t nb = std::min((blk + 1) * kBlk, c1) - b0;
+    stride = std::max(stride, nb);
+  }
   auto run_blocks = [&](int32_t t) {
-    int32_t* tmp1 = H.plane(2 * t);
-    int32_t* tmp2 = H.plane(2 * t + 1);
+    int32_t* tmp1 = H.plane(2 * t, stride);
+    int32_t* tmp2 = H.plane(2 * t + 1, stride);
     for (int32_t blk = first_blk + t; blk <= last_blk; blk += T) {
       int32_t b0 = std::max(blk * kBlk, c0);
       int32_t nb = std::min((blk + 1) * kBlk, c1) - b0;
-      scan_block(b0, nb, tmp1, tmp2);
+      scan_block(b0, nb, stride, tmp1, tmp2);
     }
   };
   if (T == 1) {
@@ -876,6 +910,64 @@ void ms_query(void* h, const uint8_t* pivot, int64_t m, int32_t* out) {
 //
 // `cap` = caller-computed bound on emissions (exact count of MEM starts);
 // returns the number of intervals written, or -1 if cap was insufficient.
+// Chunked variant of ms_overlaps: process rows [pos0, pos0+P) of a record,
+// carrying per-column state across calls so chromosome-scale DAPs never
+// materialize in one array (the combined 128 Mbp x 90-doc build streams
+// row chunks gathered from per-document columns). State:
+//   prev_end[D]  (in/out) — last MEM end per column; < 0 = none yet.
+//   prev_row[D]  (in)     — MS row pos0-1, ignored when pos0 == 0.
+// The caller invokes with is_final=1 on (or after) the last chunk to emit
+// the reference's end-of-record sentinel row (pos=L, ms=[L]*D -> intervals
+// [L, min(prev_end, 2L))], dap_to_bed.py:125-134); P may be 0 then.
+// Returns intervals written, or -1 if cap was insufficient.
+int64_t ms_overlaps_chunk(const int32_t* ms, int64_t P, int64_t D,
+                          int64_t pos0, int64_t L, int32_t is_final,
+                          const int32_t* prev_row, int64_t* prev_end,
+                          int64_t cap, int64_t* out_s, int64_t* out_e,
+                          int32_t* out_o) {
+  int64_t k = 0;
+  int64_t p0 = pos0;
+  if (P > 0 && pos0 == 0) {
+    // First row of the record: every column emits a MEM (no previous MEM
+    // yet, so no overlap output) — it only seeds prev_end.
+    for (int64_t c = 0; c < D; ++c) prev_end[c] = ms[c];
+    p0 = 1;
+  }
+  for (int64_t p = p0; p < pos0 + P; ++p) {
+    const int32_t* row = ms + (p - pos0) * D;
+    const int32_t* prow = p == pos0 ? prev_row : row - D;
+    for (int64_t c = 0; c < D; ++c) {
+      if (prow[c] <= row[c]) {
+        int64_t end = p + row[c];
+        int64_t ov_end = prev_end[c] < end ? prev_end[c] : end;
+        if (ov_end >= p && prev_end[c] >= 0) {
+          if (k == cap) return -1;
+          out_s[k] = p;
+          out_e[k] = ov_end;
+          out_o[k] = static_cast<int32_t>(c + 1);
+          ++k;
+        }
+        prev_end[c] = end;
+      }
+    }
+  }
+  if (is_final) {
+    // Sentinel end-of-record row (pos=L, ms=[L]*D): unconditional emit.
+    for (int64_t c = 0; c < D; ++c) {
+      if (prev_end[c] < 0) continue;
+      int64_t ov_end = prev_end[c] < 2 * L ? prev_end[c] : 2 * L;
+      if (ov_end >= L) {
+        if (k == cap) return -1;
+        out_s[k] = L;
+        out_e[k] = ov_end;
+        out_o[k] = static_cast<int32_t>(c + 1);
+        ++k;
+      }
+    }
+  }
+  return k;
+}
+
 int64_t ms_overlaps(const int32_t* ms, int64_t P, int64_t D, int64_t L,
                     int64_t cap, int64_t* out_s, int64_t* out_e, int32_t* out_o) {
   std::vector<int64_t> prev_end(static_cast<size_t>(D), -1);

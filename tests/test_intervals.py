@@ -104,3 +104,67 @@ def test_native_matches_python_backend():
                 py = mem_overlap_intervals(ms, L, order_sort=order_sort, backend="python")
                 for a, b in zip(nat, py):
                     np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_extractor_matches_oneshot():
+    """StreamingOverlapExtractor (carry-chunked C pass) emits byte-identical
+    intervals to mem_overlap_intervals for every chunking, both modes."""
+    from memo_tpu.index.intervals import StreamingOverlapExtractor
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        P = int(rng.integers(1, 200))
+        D = int(rng.integers(1, 7))
+        L = P
+        ms = rng.integers(0, 25, size=(P, D)).astype(np.int32)
+        for order_sort in (False, True):
+            want = mem_overlap_intervals(ms, L, order_sort=order_sort)
+            for chunk in (1, 3, 7, P):
+                ex = StreamingOverlapExtractor(D, L, order_sort=order_sort)
+                got_s, got_e, got_o = [], [], []
+                for lo in range(0, P, chunk):
+                    s, e, o = ex.feed(ms[lo : lo + chunk])
+                    got_s.append(s); got_e.append(e); got_o.append(o)
+                s, e, o = ex.finish()
+                got_s.append(s); got_e.append(e); got_o.append(o)
+                np.testing.assert_array_equal(np.concatenate(got_s), want[0])
+                np.testing.assert_array_equal(np.concatenate(got_e), want[1])
+                np.testing.assert_array_equal(np.concatenate(got_o), want[2])
+
+
+def test_streaming_extractor_numpy_fallback_matches():
+    from memo_tpu.index import intervals as I
+
+    rng = np.random.default_rng(7)
+    ms = rng.integers(0, 12, size=(60, 3)).astype(np.int32)
+    want = I.mem_overlap_intervals(ms, 60, order_sort=True)
+    ex = I.StreamingOverlapExtractor(3, 60, order_sort=True)
+    ex._lib = None  # force the numpy carry path
+    ex._carry = I._ColumnCarry.fresh(3)
+    outs = [ex.feed(ms[lo : lo + 17]) for lo in range(0, 60, 17)] + [ex.finish()]
+    np.testing.assert_array_equal(np.concatenate([o[0] for o in outs]), want[0])
+    np.testing.assert_array_equal(np.concatenate([o[1] for o in outs]), want[1])
+    np.testing.assert_array_equal(np.concatenate([o[2] for o in outs]), want[2])
+
+
+def test_store_from_doc_columns_equals_store_from_ms():
+    """The streamed-DAP store path is bit-identical to the materialized-DAP
+    path for both kinds and multi-record pivots."""
+    from memo_tpu.index.builder import store_from_doc_columns, store_from_ms
+
+    rng = np.random.default_rng(9)
+    lens = [300, 97]
+    D = 5
+    ms_by_record = [
+        rng.integers(0, 30, size=(L, D)).astype(np.int32) for L in lens
+    ]
+    cols_by_doc = [[ms[:, j].copy() for ms in ms_by_record] for j in range(D)]
+    for kind in ("conservation", "membership"):
+        a = store_from_ms(ms_by_record, ["r1", "r2"], lens, D + 1, kind)
+        b = store_from_doc_columns(
+            cols_by_doc, ["r1", "r2"], lens, D + 1, kind, chunk_rows=64
+        )
+        np.testing.assert_array_equal(a.start, b.start)
+        np.testing.assert_array_equal(a.end, b.end)
+        np.testing.assert_array_equal(a.order, b.order)
+        np.testing.assert_array_equal(a.rec_id, b.rec_id)
