@@ -92,6 +92,27 @@ def build_large_store(rng):
     )
 
 
+def _compiled_bytes_accessed(engine, store, backend: str) -> int:
+    """'bytes accessed' from XLA's cost analysis of the exact compiled
+    program the headline reps dispatched (same shapes, same backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from memo_tpu.query.engine import _device_query_fn, _next_pow2
+
+    if backend != "jax":
+        raise ValueError("cost analysis is wired for the jax backend")
+    M = min(_next_pow2(max(store.num_intervals, 1)), engine.max_intervals)
+    fn = _device_query_fn(M, PIVOT_LEN, store.n_docs, False)
+    sd = lambda shape: jax.ShapeDtypeStruct(shape, jnp.int32)
+    st = sd(engine._d_start.shape)
+    scalar = sd(())
+    cost = fn.lower(st, st, st, scalar, scalar, scalar, scalar).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return int(cost["bytes accessed"])
+
+
 def reference_membership_np(store, qs: int, qe: int, k: int) -> np.ndarray:
     """Reference membership path (memo_query.py:50-51,57-68): ones matrix,
     per-interval slice writes of False."""
@@ -223,6 +244,44 @@ def bench_wide_store(rng, backend: str) -> dict:
         "n_docs": n_docs,
         "c_pad": 256,
         "exact": bool(np.array_equal(got, want)),
+    }
+
+
+def bench_pallas_ab(rng) -> dict:
+    """Real-device Pallas kernel re-anchor (VERDICT r3 #6): Mosaic-compile
+    the fused kernel EVERY round and A/B it interleaved against the jax
+    default on the headline store, so regressions in the kernel can't hide
+    now that no default path exercises it. Records the keep/demote basis."""
+    import jax
+
+    from memo_tpu.query.engine import QueryEngine
+
+    store = build_store(rng)
+    engines = {
+        b: QueryEngine(store, backend=b, chunk_positions=PIVOT_LEN, device_output=True)
+        for b in ("jax", "pallas")
+    }
+    outs = {}
+    for b, e in engines.items():  # compile (Mosaic for pallas)
+        outs[b] = np.asarray(e.conservation("chr1", 0, PIVOT_LEN, K))
+    best = {"jax": 1e9, "pallas": 1e9}
+    for _ in range(5):  # interleaved: tunnel congestion hits both arms alike
+        for b, e in engines.items():
+            t0 = time.perf_counter()
+            o = e.conservation("chr1", 0, PIVOT_LEN, K)
+            jax.block_until_ready(o)
+            best[b] = min(best[b], time.perf_counter() - t0)
+    ratio = best["jax"] / best["pallas"]
+    return {
+        "jax_mbp_s": round(PIVOT_LEN / best["jax"] / 1e6, 1),
+        "pallas_mbp_s": round(PIVOT_LEN / best["pallas"] / 1e6, 1),
+        "pallas_over_jax": round(ratio, 3),
+        "exact_match": bool(np.array_equal(outs["jax"], outs["pallas"])),
+        "device": jax.devices()[0].platform,
+        "decision": (
+            "promote pallas to default" if ratio > 1.05 else
+            "keep pallas as opt-in --backend pallas (jax default stands)"
+        ),
     }
 
 
@@ -449,6 +508,8 @@ def bench_stage_child(stage: str) -> int:
         print(json.dumps(bench_wide_store(rng, backend)))
     elif stage == "headline":
         print(json.dumps(bench_headline(rng, backend)))
+    elif stage == "pallas-ab":
+        print(json.dumps(bench_pallas_ab(rng)))
     else:
         raise SystemExit(f"unknown stage {stage}")
     return 0
@@ -527,37 +588,35 @@ def bench_headline(rng, backend: str) -> dict:
             np.concatenate(ref_out),
         )
     )
-    # HBM roofline (VERDICT r2 #6), per backend:
-    # - jax (diff-array): candidate rows (3 int32 arrays) + scatter into the
-    #   (L+1)*C diff plane + cumsum read/write + the reduced int32 output.
-    # - pallas (fused kernel): two event streams (pos+val int32 per event)
-    #   plus the int32 output; the upper bound adds one boundary DMA block
-    #   re-read per stream per tile.
-    # Utilization = traffic / wall vs the ~800 GB/s v5e ceiling — the
-    # recorded "is it actually fast" ratio that tuning runs against.
+    # HBM roofline from the COMPILED program (VERDICT r3 #3): ask XLA's own
+    # cost analysis of the executable that served the reps for its
+    # bytes-accessed figure, instead of a hand byte model — the r3 model
+    # charged 3 full passes over the diff plane that XLA actually fuses,
+    # overcounting traffic into a physically impossible 102.2%.
     detail: dict = {}
+    hbm_method = "xla_cost_analysis"
+    try:
+        hbm_bytes = _compiled_bytes_accessed(engine, store, backend)
+    except Exception as e:
+        # Fallback hand model (lower bound: compulsory traffic only — the
+        # candidate rows, ONE diff-plane pass, the output).
+        hbm_method = f"byte_model_fallback ({type(e).__name__})"
+        C = store.n_docs
+        hbm_bytes = (
+            3 * store.num_intervals * 4
+            + (PIVOT_LEN + 1) * C * 4
+            + PIVOT_LEN * 4
+        )
     if backend == "pallas":
-        from memo_tpu.ops.pallas_query import EV_LANES, kernel_constants_for
+        from memo_tpu.ops.pallas_query import kernel_constants_for
 
         TILE, EV_ROWS = kernel_constants_for(
             _next_pow2_events(store.num_intervals), PIVOT_LEN
         )
-        n_tiles = (PIVOT_LEN + TILE - 1) // TILE
-        hbm_bytes = 2 * store.num_intervals * 8 + PIVOT_LEN * 4
-        hbm_bytes_max = hbm_bytes + 2 * n_tiles * EV_ROWS * EV_LANES * 8
         detail["kernel_constants"] = {"tile": TILE, "ev_rows": EV_ROWS}
-        detail["hbm_utilization_pct_upper"] = round(
-            100 * hbm_bytes_max / dt / 1e9 / 800, 1
-        )
-    else:
-        C = store.n_docs
-        hbm_bytes = (
-            3 * store.num_intervals * 4  # candidate start/end/order reads
-            + 3 * (PIVOT_LEN + 1) * C * 4  # diff-plane scatter + cumsum r/w
-            + PIVOT_LEN * 4  # reduced output
-        )
     hbm_gb_s = hbm_bytes / dt / 1e9
     return {
+        "hbm_method": hbm_method,
         "mbp_s": round(mbp_s, 3),
         "baseline_mbp_s": round(ref_mbp_s, 3),
         "k_sweep_mbp_s": k_sweep,
@@ -835,6 +894,7 @@ def main() -> int:
         ("large_store", 280, child("--stage-large")),
         ("view", 40, lambda cap: bench_view(rng)),
         ("wide_store", 150, child("--stage-wide")),
+        ("pallas_ab", 200, child("--stage-pallas-ab")),
     ]
     for name, est, fn in stages:
         if remaining() < est + RESERVE_S:

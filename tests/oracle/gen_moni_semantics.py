@@ -170,6 +170,29 @@ CASES: dict[str, tuple[str, str]] = {
         ">p1\n>p2\nACGT\n",
         ">d1\n>d2\nACGTT\n",
     ),
+    # EVERY pivot record is a proper substring of a document record, so
+    # every ms value is clamped by its record's remaining length (the
+    # k-overshoot-at-record-end regime, VERDICT r3 #8): each row must read
+    # len(rec), len(rec)-1, ..., 1 — never the longer document match.
+    "short_pivot_every_match_overshoots": (
+        ">p1\nCCGGTT\n>p2\nGTTAAC\n>p3\nAC\n",
+        ">doc\nAACCGGTTAACCGGTTAA\n",
+    ),
+    # Document records that are exact substrings of each other (nested and
+    # repeated): the automaton/SA dedup of shared suffixes must not change
+    # max-match semantics, and the '$' of the short record must not
+    # truncate matches inside the long one.
+    "nested_substring_doc_records": (
+        ">piv\nTAGGCATAGGCA\n",
+        ">d1\nGGTAGGCATAGGCAGG\n>d2\nTAGGCATAGGCA\n>d3\nGCATAG\n>d4\nTAGGCATAGGCA\n",
+    ),
+    # Pivot N-runs LONGER than whole document records: byte-literal N
+    # matching caps at the longest doc N-run; the run also spans the
+    # boundary where a doc record is shorter than the remaining run.
+    "pivot_n_run_longer_than_records": (
+        ">piv\nACNNNNNNNNNNNNGT\n",
+        ">d1\nNNNN\n>d2\nANNNNNC\n>d3\nGT\n",
+    ),
 }
 
 
