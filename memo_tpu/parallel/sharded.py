@@ -22,9 +22,12 @@ Mesh axes and what they shard:
     ``psum`` over ICI combines them (coverage counts are additive over any
     partition of the interval set — query_ops.coverage_counts).
 
-``position`` is the default: zero communication and HBM-local cumsums. Use
-``interval`` when the candidate set per window is enormous relative to the
-window (deep pangenomes, tiny windows).
+``position`` is this class's default (zero communication, HBM-local
+cumsums); use ``interval`` when the candidate set per window is enormous
+relative to the window (deep pangenomes, tiny windows). Note both gather
+candidates host-side per call — the CLI's ``--strategy auto`` prefers the
+device-resident store (parallel/resident.py) for dense/many-window batches,
+which the recorded scaling data favors at every mesh size.
 
 Multi-host: the same code runs under ``jax.distributed.initialize`` with a
 ``(hosts × chips)`` mesh — ``dp`` laid out across hosts (DCN) and ``sp``

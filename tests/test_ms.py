@@ -382,3 +382,26 @@ def test_auto_pooled_heuristic(tmp_path):
     assert not _auto_pooled(docs[:2], pivot_chars=10_000, cfg=BuildConfig())
     # Explicit per-doc backends never auto-pool.
     assert not _auto_pooled(docs, 10_000, BuildConfig(backend="native"))
+
+
+def test_pooled_narrow_scan_blocks_equal(native_available, monkeypatch):
+    """A tiny scratch budget forces 1-2-color scan blocks (the
+    chromosome-scale-pivot regime: narrow plane strides, partial-row
+    stores) — results must stay bit-identical to the full-width scan."""
+    import random
+
+    rng = random.Random(31)
+    piv = [_rec("p", _rand_dna(rng, 400))]
+    docs = [[_rec(f"d{j}", _rand_dna(rng, 300))] for j in range(20)]
+    want = msmod.pangenome_ms(piv, docs)
+    monkeypatch.setenv("MEMO_TPU_GSA_SCRATCH_BYTES", "1")  # -> 1-color blocks
+    got = msmod.pangenome_ms(piv, docs)
+    for j in range(len(docs)):
+        assert np.array_equal(got[j][0], want[j][0]), j
+    # mid-width blocks too (aligned and unaligned color spans)
+    monkeypatch.setenv(
+        "MEMO_TPU_GSA_SCRATCH_BYTES", str(12 * (2 * 401) * 1 * 3)
+    )  # -> ~3-color blocks
+    got3 = msmod.pangenome_ms(piv, docs)
+    for j in range(len(docs)):
+        assert np.array_equal(got3[j][0], want[j][0]), j
