@@ -195,14 +195,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _default_backend() -> str:
     try:
-        # Interleaved A/B on the real v5e (docs/BENCH_local_r03.json
-        # backend_ab): the XLA scatter+cumsum lowering beats the fused
-        # Pallas kernel at every measured shape (sparse/dense/wide/
-        # membership), so "jax" is the default on every device; the
-        # kernel stays available via --backend pallas.
-        import jax  # noqa: F401
+        # TRUE-completion A/B on the real v5e (docs/BENCH_local_r04.json —
+        # round 4 discovered block_until_ready does not actually wait
+        # through this TPU transport, so every earlier backend comparison
+        # measured client enqueue rates): the fused Pallas kernel beats the
+        # XLA scatter+cumsum lowering ~3.7x at the headline shape (the XLA
+        # path is scatter-serialization-bound, ~10 ns per scatter update).
+        # Pallas needs Mosaic, i.e. a real TPU; other platforms default to
+        # the XLA path.
+        import jax
 
-        return "jax"
+        return "pallas" if jax.default_backend() == "tpu" else "jax"
     except Exception:
         return "numpy"
 

@@ -133,26 +133,47 @@ def main() -> int:
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
     import jax
+    import jax.numpy as jnp
 
     from memo_tpu.query.engine import QueryEngine
 
-    engine = QueryEngine(
-        store,
-        backend="jax",
-        chunk_positions=1 << 21,
-        max_intervals_per_chunk=1 << 25,
-        device_output=True,
-    )
+    # TRUE-completion sync (round-4 discovery: block_until_ready does not
+    # wait through this TPU transport — it measures enqueue; a device-side
+    # digest pull is the only observable completion. SCALE_r03's query rows
+    # were enqueue rates).
+    digest = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    sync = lambda x: int(np.asarray(digest(x)))
+
+    on_tpu = jax.default_backend() == "tpu"
     k = 31
     win = 1 << 21
     starts = np.linspace(0, P - win, 8).astype(np.int64)
-    for qs in starts[:2]:
-        jax.block_until_ready(engine.conservation("chr1", int(qs), int(qs) + win, k))
+    engine = None
+    for backend in (("pallas", "jax") if on_tpu else ("jax",)):
+        try:
+            # pallas keeps 6 int32 store-sized arrays on device (~10.4 GB at
+            # 432M intervals) — fall back to the jax path if HBM runs out.
+            engine = QueryEngine(
+                store,
+                backend=backend,
+                chunk_positions=1 << 21,
+                max_intervals_per_chunk=1 << 25,
+                device_output=True,
+            )
+            for qs in starts[:2]:
+                sync(engine.conservation("chr1", int(qs), int(qs) + win, k))
+            break
+        except Exception as e:
+            log(f"[combined] backend {backend} failed ({type(e).__name__}: {e}); falling back")
+            engine = None
+    if engine is None:
+        raise RuntimeError("no query backend initialized")
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [engine.conservation("chr1", int(qs), int(qs) + win, k) for qs in starts]
-        jax.block_until_ready(outs)
+        for qs in starts[:-1]:
+            engine.conservation("chr1", int(qs), int(qs) + win, k)
+        sync(engine.conservation("chr1", int(starts[-1]), int(starts[-1]) + win, k))
         best = min(best, time.perf_counter() - t0)
     q_mbp_s = len(starts) * win / best / 1e6
     log(f"[combined] query: {q_mbp_s:.0f} Mbp/s on {jax.devices()[0].platform}")
@@ -220,6 +241,8 @@ def main() -> int:
                 "store_gb": round(store.stats()["bytes"] / 1e9, 2),
                 "peak_rss_gb": round(peak_gb, 2),
                 "query_device": jax.devices()[0].platform,
+                "query_backend": engine.backend,
+                "query_sync": "device-digest pull (true completion)",
                 "query_k31_mbp_s": round(q_mbp_s, 1),
                 "exact": exact,
                 "resident_virtual_mesh_16mbp_slice": resident,
