@@ -354,8 +354,8 @@ def bench_pallas_ab(cap: float) -> dict:
         "exact_both": bool(exact["jax"] and exact["pallas"]),
         "device": device,
         "decision": (
-            "promote pallas to default" if ratio > 1.05 else
-            "keep pallas as opt-in --backend pallas (jax default stands)"
+            "pallas stays the TPU default (as shipped since r4)" if ratio > 0.95
+            else "REGRESSION: flip the TPU default back to jax"
         ),
     }
 

@@ -133,8 +133,9 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
         "--backend",
         default=None,
         choices=["jax", "pallas", "numpy"],
-        help="query backend [jax: XLA diff-array+cumsum, the measured-fastest "
-        "path on current TPU toolchains; pallas: fused custom kernel; numpy: host]",
+        help="query backend [default: pallas (fused kernel) on TPU — the "
+        "true-completion A/B winner at every measured shape — else jax "
+        "(XLA diff-array+cumsum); numpy: host]",
     )
     p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
     p.add_argument("--stats", action="store_true", help="print per-query stats to stderr")
