@@ -961,17 +961,17 @@ def main() -> int:
     # HBM-pressure stages when the budget is tight — those also live in the
     # committed local-run artifact (docs/BENCH_local_r03.json).
     stages = [
-        ("index_build", 120, lambda cap: {
+        ("pallas_ab", 200, lambda cap: bench_pallas_ab(cap)),
+        ("index_build", 150, lambda cap: {
             **bench_index_build(rng),
             **bench_sa_build(rng),
             "pangenome": bench_pangenome_build(rng),
         }),
         ("scaling_virtual_8cpu", 200, lambda cap: bench_scaling(timeout=cap)),
         ("membership", 130, child("--stage-membership")),
-        ("large_store", 280, child("--stage-large")),
         ("view", 40, lambda cap: bench_view(rng)),
-        ("wide_store", 150, child("--stage-wide")),
-        ("pallas_ab", 240, lambda cap: bench_pallas_ab(cap)),
+        ("large_store", 280, child("--stage-large")),
+        ("wide_store", 240, child("--stage-wide")),
     ]
     for name, est, fn in stages:
         if remaining() < est + RESERVE_S:
