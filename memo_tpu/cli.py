@@ -194,23 +194,6 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def _default_backend() -> str:
-    try:
-        # TRUE-completion A/B on the real v5e (docs/BENCH_local_r04.json —
-        # round 4 discovered block_until_ready does not actually wait
-        # through this TPU transport, so every earlier backend comparison
-        # measured client enqueue rates): the fused Pallas kernel beats the
-        # XLA scatter+cumsum lowering ~3.7x at the headline shape (the XLA
-        # path is scatter-serialization-bound, ~10 ns per scatter update).
-        # Pallas needs Mosaic, i.e. a real TPU; other platforms default to
-        # the XLA path.
-        import jax
-
-        return "pallas" if jax.default_backend() == "tpu" else "jax"
-    except Exception:
-        return "numpy"
-
-
 def cmd_index(args) -> int:
     from memo_tpu.index.builder import BuildConfig, build_index
 
@@ -351,8 +334,10 @@ def cmd_query(args) -> int:
         log.info("wrote %d region outputs (mesh=%s)", len(regions), dict(mesh.shape))
         return 0
 
-    backend = args.backend or _default_backend()
-    engine = QueryEngine(store, backend=backend)
+    # backend "auto" resolves per device in QueryEngine: the fused Pallas
+    # kernel on real TPUs (the true-completion A/B winner at every measured
+    # shape, docs/BENCH_local_r04.json), the XLA path elsewhere.
+    engine = QueryEngine(store, backend=args.backend or "auto")
     record, qs, qe = parse_region(args.region)
     with trace_context(args.profile):
         if args.membership:

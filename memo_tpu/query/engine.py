@@ -58,7 +58,7 @@ class QueryEngine:
     def __init__(
         self,
         store: IntervalStore,
-        backend: str = "jax",
+        backend: str = "auto",
         chunk_positions: int | None = None,
         max_intervals_per_chunk: int | None = None,
         device_output: bool = False,
@@ -76,6 +76,16 @@ class QueryEngine:
         if store.kind not in ("conservation", "membership"):
             raise ValueError(f"bad store kind {store.kind!r}")
         self.store = store
+        if backend == "auto":
+            # The fused Pallas kernel is the true-completion A/B winner at
+            # every measured shape on real TPUs (docs/BENCH_local_r04.json);
+            # it needs Mosaic, so other platforms resolve to the XLA path.
+            try:
+                import jax
+
+                backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+            except Exception:
+                backend = "numpy"
         self.backend = backend
         if chunk_positions is None or max_intervals_per_chunk is None:
             on_tpu = False
