@@ -67,13 +67,19 @@ def main() -> int:
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
     import jax
+    import jax.numpy as jnp
 
     from memo_tpu.query.engine import QueryEngine
 
-    on_tpu = jax.default_backend() == "tpu"
+    # TRUE-completion sync (round-4 correction: block_until_ready does not
+    # wait through this environment's TPU transport; SCALE_r02/r03 query
+    # rows were enqueue rates).
+    digest = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    sync = lambda x: int(np.asarray(digest(x)))
+
     engine = QueryEngine(
         store,
-        backend="jax",
+        backend="auto",
         chunk_positions=1 << 21,
         max_intervals_per_chunk=1 << 25,
         device_output=True,
@@ -83,16 +89,16 @@ def main() -> int:
     # 8 windows spread across the chromosome
     starts = np.linspace(0, P - win, 8).astype(np.int64)
     for qs in starts[:2]:
-        jax.block_until_ready(engine.conservation("chr1", int(qs), int(qs) + win, k))
+        sync(engine.conservation("chr1", int(qs), int(qs) + win, k))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [
-            engine.conservation("chr1", int(qs), int(qs) + win, k) for qs in starts
-        ]
-        jax.block_until_ready(outs)
+        for qs in starts[:-1]:
+            engine.conservation("chr1", int(qs), int(qs) + win, k)
+        sync(engine.conservation("chr1", int(starts[-1]), int(starts[-1]) + win, k))
         best = min(best, time.perf_counter() - t0)
     q_mbp_s = len(starts) * win / best / 1e6
+    outs = [engine.conservation("chr1", int(qs), int(qs) + win, k) for qs in starts]
 
     # exactness spot check vs the independent numpy diff-array path
     sub_qs = int(starts[3])
