@@ -337,14 +337,16 @@ def bench_pallas_ab(cap: float) -> dict:
     alternated ABBA across two rounds so a tunnel congestion spell cannot
     systematically favor either. Records the keep/promote decision."""
     best = {"jax": 0.0, "pallas": 0.0}
-    exact = {"jax": False, "pallas": False}
+    # Exactness combines with AND: one wrong round must mark the arm inexact
+    # (OR masked intermittent failures — ADVICE r4).
+    exact = {"jax": True, "pallas": True}
     device = "?"
     for arm in ("jax", "pallas", "pallas", "jax"):
         child = _run_child(f"--stage-backend-{arm}", timeout=max(cap / 4, 120))
         if "error" in child:
             return {"error": child["error"], "partial": best}
         best[arm] = max(best[arm], child["mbp_s"])
-        exact[arm] = exact[arm] or child["exact"]
+        exact[arm] = exact[arm] and child["exact"]
         device = child.get("device", device)
     ratio = best["pallas"] / best["jax"] if best["jax"] else 0.0
     return {

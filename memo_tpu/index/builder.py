@@ -177,11 +177,7 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
     Pool when the pooled estimate is < 60% of per-document — the margin
     absorbs the GSA per-color scans and SA-IS's superlinear per-char cost on
     bigger groups (measured on this class of host; see index/ms.py note)."""
-    from memo_tpu.index.ms import (
-        _GSA_BYTES_PER_CHAR,
-        _GSA_GROUP_SWEET_CHARS,
-        _ms_budget_bytes,
-    )
+    from memo_tpu.index.ms import _ms_budget_bytes, gsa_group_cap
 
     if cfg.backend not in ("auto", "sa") or len(doc_paths) < 3:
         return False
@@ -196,10 +192,12 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
     d_total = sum(d_sizes)
     budget = _ms_budget_bytes(cfg.ms_budget_bytes)
     q_chars = 2 * pivot_chars  # P and RC(P) both queried in the fwd layout
-    group_max = max(budget // _GSA_BYTES_PER_CHAR - q_chars, 1 << 20)
+    # Group cap: the SAME expression pangenome_ms will use (shared helper —
+    # the r4 advisor found a drifted local copy here doubled the group-count
+    # estimate), then the jobs spread it also applies.
+    group_max = gsa_group_cap(budget, q_chars)
     if cfg.jobs > 1:
         group_max = min(group_max, max((d_total + cfg.jobs - 1) // cfg.jobs, 1 << 20))
-    group_max = min(group_max, max(2 * q_chars, _GSA_GROUP_SWEET_CHARS))
     n_groups = max((d_total + group_max - 1) // group_max, 1)
     if d_total > budget // 2:
         # The pooled path materializes every uncached document's records in

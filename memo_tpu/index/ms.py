@@ -487,6 +487,26 @@ _GSA_BYTES_PER_CHAR = 15
 _GSA_GROUP_SWEET_CHARS = 24 << 20
 
 
+def gsa_group_cap(budget: int, query_chars: int) -> int:
+    """Pooled-GSA group-size cap in chars for a query (pivot+RC) of
+    ``query_chars``: RAM budget and int32 bounds, then the measured sweet
+    spot ``max(4 x query, _GSA_GROUP_SWEET_CHARS)`` unless
+    MEMO_TPU_GSA_GROUP_CHARS overrides. ONE definition shared by
+    :func:`pangenome_ms` and the builder's pooled/per-doc cost model — the
+    r4 advisor found the builder's copy drifted to ``2 x query``, doubling
+    its group-count estimate and biasing the auto-pool decision."""
+    import os
+
+    group_max = max(
+        min(budget // _GSA_BYTES_PER_CHAR - query_chars, (1 << 31) - 16 - query_chars),
+        1 << 20,
+    )
+    env_cap = os.environ.get("MEMO_TPU_GSA_GROUP_CHARS")
+    if env_cap:
+        return min(group_max, max(int(env_cap), 1 << 20))
+    return min(group_max, max(4 * query_chars, _GSA_GROUP_SWEET_CHARS))
+
+
 def pangenome_ms(
     pivot_records: Sequence[FastaRecord],
     documents: Sequence[Sequence[FastaRecord]],
@@ -536,17 +556,7 @@ def pangenome_ms(
     # re-sort (2P chars) stops amortizing — at C=90/5 Mbp the 40M cap
     # measured 6.3 Mbp/s vs 4.4 at 96M and 3.4 at 150M.
     # MEMO_TPU_GSA_GROUP_CHARS overrides for sweeps.
-    import os
-
-    env_cap = os.environ.get("MEMO_TPU_GSA_GROUP_CHARS")
-    group_max = max(
-        min(budget // _GSA_BYTES_PER_CHAR - pivot_chars, (1 << 31) - 16 - pivot_chars),
-        1 << 20,
-    )
-    if env_cap:
-        group_max = min(group_max, max(int(env_cap), 1 << 20))
-    else:
-        group_max = min(group_max, max(4 * pivot_chars, _GSA_GROUP_SWEET_CHARS))
+    group_max = gsa_group_cap(budget, pivot_chars)
 
     tagged: list[tuple[FastaRecord, int]] = []
     for j, doc in enumerate(documents):
@@ -594,7 +604,12 @@ def pangenome_ms(
 
     _scratch = int(_os.environ.get("MEMO_TPU_GSA_SCRATCH_BYTES", 8 << 30))
     _conc = min(max(jobs, 1), len(groups)) or 1  # concurrent groups w/ planes
-    GSA_BLOCK = max(1, min(16, _scratch // max(12 * pivot_chars * _conc, 1)))
+    # Each of the C side's scan threads allocates its own scratch planes, so
+    # the divisor counts groups x threads (ADVICE r4: jobs>1 with one group
+    # used to overshoot the budget ~2x).
+    GSA_BLOCK = max(
+        1, min(16, _scratch // max(12 * pivot_chars * _conc * scan_threads, 1))
+    )
 
     def run_group(group: list[tuple[FastaRecord, int]]):
         docs_here = sorted({j for _, j in group})
