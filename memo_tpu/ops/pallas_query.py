@@ -62,6 +62,10 @@ DENSE_EVENTS_PER_POS = 8  # stream events per window position at the switch
 
 _ENV_TILE = os.environ.get("MEMO_TPU_PALLAS_TILE")
 _ENV_ROWS = os.environ.get("MEMO_TPU_PALLAS_EV_ROWS")
+# Timing-only lab probe (tools/kernel_lab.py --nodma): compile the kernel
+# with every event-block DMA removed, so the wall isolates compute from HBM
+# traffic. Results are GARBAGE in this mode — never set it outside the lab.
+_LAB_SKIP_DMA = os.environ.get("MEMO_TPU_PALLAS_LAB_SKIP_DMA") == "1"
 
 
 def kernel_constants_for(n_events: int, length: int) -> tuple[int, int]:
@@ -146,19 +150,21 @@ def _make_kernel(n_docs: int, membership: bool, ev_rows: int):
                 # average tile holds far fewer events than a block); per-
                 # stream VMEM block caching skips the redundant DMAs — the
                 # dominant HBM traffic at sparse-event shapes.
-                @pl.when(blk_cache[s_idx] != row0)
-                def _(row0=row0):
-                    cp_p = pltpu.make_async_copy(
-                        pos_hbm.at[pl.ds(row0, EV_ROWS), :], pos_buf, sem.at[0]
-                    )
-                    cp_v = pltpu.make_async_copy(
-                        val_hbm.at[pl.ds(row0, EV_ROWS), :], val_buf, sem.at[1]
-                    )
-                    cp_p.start()
-                    cp_v.start()
-                    cp_p.wait()
-                    cp_v.wait()
-                    blk_cache[s_idx] = row0
+                if not _LAB_SKIP_DMA:
+
+                    @pl.when(blk_cache[s_idx] != row0)
+                    def _(row0=row0):
+                        cp_p = pltpu.make_async_copy(
+                            pos_hbm.at[pl.ds(row0, EV_ROWS), :], pos_buf, sem.at[0]
+                        )
+                        cp_v = pltpu.make_async_copy(
+                            val_hbm.at[pl.ds(row0, EV_ROWS), :], val_buf, sem.at[1]
+                        )
+                        cp_p.start()
+                        cp_v.start()
+                        cp_p.wait()
+                        cp_v.wait()
+                        blk_cache[s_idx] = row0
 
                 for j in range(EV_ROWS):
                     row_first = (row0 + j) * EV_LANES

@@ -62,6 +62,7 @@ class QueryEngine:
         chunk_positions: int | None = None,
         max_intervals_per_chunk: int | None = None,
         device_output: bool = False,
+        kernel_version: str | None = None,
     ):
         """``device_output=True`` keeps results on device (jax arrays, no
         host transfer) — for pipelines that feed them onward (binning, another
@@ -87,6 +88,16 @@ class QueryEngine:
             except Exception:
                 backend = "numpy"
         self.backend = backend
+        # Fused-kernel generation: "v2" (transposed layout + band folds, the
+        # r5 default — kernel-only A/B in docs/KERNEL_NOTES.md) or "v1".
+        # MEMO_TPU_PALLAS_KERNEL overrides for sweeps/regression checks.
+        import os as _os
+
+        self.kernel_version = (
+            kernel_version or _os.environ.get("MEMO_TPU_PALLAS_KERNEL") or "v2"
+        )
+        if self.kernel_version not in ("v1", "v2"):
+            raise ValueError(f"unknown kernel_version {self.kernel_version!r}")
         if chunk_positions is None or max_intervals_per_chunk is None:
             on_tpu = False
             if backend in ("jax", "pallas"):
@@ -318,6 +329,40 @@ class QueryEngine:
             right = self._query_chunk_pallas(record, mid, qe, k, membership, stats)
             return self._cat(left, right)
         stats.candidate_intervals += count
+        if self.kernel_version == "v2":
+            from memo_tpu.ops.pallas_query_v2 import (
+                kernel_constants_v2,
+                memo_query_pallas_v2,
+            )
+
+            tile, ev_rows = kernel_constants_v2(M, L)
+            C_sub = max((n + 7) // 8 * 8, 8)
+            prefix = np.zeros((C_sub, 1), np.int32)
+            prefix[:n, 0] = lay.prefix_counts(st, r, qs, k)
+            out = memo_query_pallas_v2(
+                self._d_start,
+                self._d_end,
+                self._d_order,
+                self._d_end_s,
+                self._d_start_by_end,
+                self._d_order_by_end,
+                jnp.asarray(prefix),
+                jnp.int32(mlo),
+                jnp.int32(mhi),
+                jnp.int32(plo),
+                jnp.int32(phi),
+                jnp.int32(qs),
+                jnp.int32(k),
+                M=M,
+                L=L,
+                C=n,
+                n_docs=n,
+                membership=membership,
+                interpret=self._interpret,
+                tile=tile,
+                ev_rows=ev_rows,
+            )
+            return out if self.device_output else np.asarray(out)
         # Tile/DMA-row constants by event density: M is the pow2 bucket the
         # candidate count landed in, so the compiled-program set stays small.
         tile, ev_rows = kernel_constants_for(M, L)

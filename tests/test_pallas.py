@@ -37,6 +37,13 @@ def stores(request):
     return _store(rng, request.param), request.param
 
 
+@pytest.fixture(params=["v1", "v2"])
+def kernel(request):
+    """Both fused-kernel generations must match the oracle bit-for-bit
+    (v2 = transposed layout + band folds, ops/pallas_query_v2.py)."""
+    return request.param
+
+
 WINDOWS = [("chr0", 0, 700), ("chr0", 123, 456), ("chr1", 600, 700), ("chr1", 0, 1)]
 
 
@@ -64,9 +71,9 @@ def test_prefix_counts_match_bruteforce(stores):
 
 
 @pytest.mark.parametrize("k", [1, 2, 3, 31, 101])
-def test_pallas_conservation_matches_numpy(stores, k):
+def test_pallas_conservation_matches_numpy(stores, kernel, k):
     store, _ = stores
-    pallas = QueryEngine(store, backend="pallas")
+    pallas = QueryEngine(store, backend="pallas", kernel_version=kernel)
     oracle = QueryEngine(store, backend="numpy")
     for rec, qs, qe in WINDOWS:
         got = pallas.conservation(rec, qs, qe, k)
@@ -75,10 +82,10 @@ def test_pallas_conservation_matches_numpy(stores, k):
 
 
 @pytest.mark.parametrize("k", [3, 31])
-def test_pallas_membership_matches_numpy(k):
+def test_pallas_membership_matches_numpy(kernel, k):
     rng = np.random.default_rng(11)
     store = _store(rng, lipschitz=True, kind="membership")
-    pallas = QueryEngine(store, backend="pallas")
+    pallas = QueryEngine(store, backend="pallas", kernel_version=kernel)
     oracle = QueryEngine(store, backend="numpy")
     for rec, qs, qe in WINDOWS:
         got = pallas.membership(rec, qs, qe, k)
@@ -87,12 +94,13 @@ def test_pallas_membership_matches_numpy(k):
 
 
 @pytest.mark.parametrize("n_docs", [129, 160, 257])
-def test_pallas_wide_pangenome_cpad_regimes(n_docs):
-    """C > 128 pushes the kernel into C_pad = 256/384 lanes (deeper-than-HPRC
-    pangenomes); outputs must stay bit-exact in every pad regime."""
+def test_pallas_wide_pangenome_cpad_regimes(kernel, n_docs):
+    """C > 128 pushes v1 into C_pad = 256/384 lanes and v2 into deep-sublane
+    C_sub (deeper-than-HPRC pangenomes, dense enough to exercise v2's band
+    folds); outputs must stay bit-exact in every pad regime."""
     rng = np.random.default_rng(n_docs)
     store = _store(rng, lipschitz=True, n_records=1, n_docs=n_docs, rec_len=300)
-    pallas = QueryEngine(store, backend="pallas")
+    pallas = QueryEngine(store, backend="pallas", kernel_version=kernel)
     oracle = QueryEngine(store, backend="numpy")
     for qs, qe, k in [(0, 300, 31), (77, 204, 3)]:
         np.testing.assert_array_equal(
@@ -102,11 +110,30 @@ def test_pallas_wide_pangenome_cpad_regimes(n_docs):
         )
 
 
-def test_pallas_chunked_equals_unchunked():
+@pytest.mark.parametrize("n_docs,rec_len", [(60, 256), (90, 300)])
+def test_pallas_dense_band_regime(kernel, n_docs, rec_len):
+    """HPRC-density stores (tens of events per position): 128-event sub-rows
+    span < 16 positions, so v2 takes its band fold on nearly every sub-row —
+    mixed with full folds at window edges. Bit-exact across k."""
+    rng = np.random.default_rng(n_docs * 7)
+    store = _store(rng, lipschitz=True, n_records=1, n_docs=n_docs, rec_len=rec_len)
+    assert store.num_intervals > 20 * rec_len  # genuinely dense
+    pallas = QueryEngine(store, backend="pallas", kernel_version=kernel)
+    oracle = QueryEngine(store, backend="numpy")
+    for qs, qe in [(0, rec_len), (13, rec_len - 17), (rec_len // 2, rec_len // 2 + 1)]:
+        for k in (2, 31, 101):
+            np.testing.assert_array_equal(
+                pallas.conservation("chr0", qs, qe, k),
+                oracle.conservation("chr0", qs, qe, k),
+                err_msg=f"C={n_docs} {qs}-{qe} k={k}",
+            )
+
+
+def test_pallas_chunked_equals_unchunked(kernel):
     rng = np.random.default_rng(5)
     store = _store(rng, lipschitz=True)
-    small = QueryEngine(store, backend="pallas", chunk_positions=128)
-    big = QueryEngine(store, backend="pallas")
+    small = QueryEngine(store, backend="pallas", chunk_positions=128, kernel_version=kernel)
+    big = QueryEngine(store, backend="pallas", kernel_version=kernel)
     np.testing.assert_array_equal(
         small.conservation("chr0", 0, 700, 31), big.conservation("chr0", 0, 700, 31)
     )
