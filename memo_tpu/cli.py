@@ -304,21 +304,20 @@ def cmd_query(args) -> int:
             if strategy == "resident":
                 from memo_tpu.parallel import ResidentShardedQuery
 
-                # One resident placement per queried record; ALL windows of a
-                # (record, k) are slices of ONE whole-record SPMD dispatch
-                # (ResidentShardedQuery memoizes the full-record output).
+                # ONE placement serves every queried record: distinct records
+                # ride the dp mesh axis (ResidentShardedQuery multi-record
+                # mode), and ALL windows of a (record, k) are slices of ONE
+                # SPMD dispatch (the full-record output is memoized).
                 k_max = max(args.k, 1024)
-                by_record: dict = {}
-                for record, qs, qe in regions:
-                    if record not in by_record:
-                        by_record[record] = ResidentShardedQuery(
-                            store, mesh, record=record, k_max=k_max
-                        )
+                uniq = list(dict.fromkeys(record for record, _, _ in regions))
+                if len(uniq) == 1:
+                    rq = ResidentShardedQuery(store, mesh, record=uniq[0], k_max=k_max)
+                else:
+                    rq = ResidentShardedQuery(store, mesh, records=uniq, k_max=k_max)
                 results = []
                 for record, qs, qe in regions:
-                    rq = by_record[record]
                     fn = rq.membership if args.membership else rq.conservation
-                    results.append(fn(qs, qe, args.k))
+                    results.append(fn(qs, qe, args.k, record=record))
             else:
                 sq = ShardedQuery(store, mesh, strategy=strategy)
                 if args.membership:

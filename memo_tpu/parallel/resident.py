@@ -59,6 +59,51 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
+def _resident_fn_multi(
+    mesh: Mesh, n_batch: int, B: int, M: int, C: int, n_docs: int, membership: bool
+):
+    """Multi-record SPMD program: the ``dp`` mesh axis serves DISTINCT
+    records (VERDICT r4 #7 — replicas used to idle there), and ``n_batch``
+    stacks further records per dp rank when records > n_dp.
+
+    Global inputs: int32[n_batch, n_dp, n_sp, M] sharded P(None,'dp','sp',∅).
+    Global output: [n_batch, n_dp, n_sp*B(, C)] — record slot (b, d) is an
+    independent coordinate-sharded store; one dispatch answers every
+    record's whole-coverage at this k.
+    """
+
+    def local(starts, ends, orders, k):
+        base = jax.lax.axis_index("sp") * B
+        outs = []
+        for b in range(n_batch):
+            counts = coverage_counts(
+                starts[b, 0, 0], ends[b, 0, 0], orders[b, 0, 0], base, k, L=B, C=C
+            )
+            marks = counts > 0
+            outs.append(
+                membership_from_marks(marks)
+                if membership
+                else conservation_from_marks(marks, n_docs)
+            )
+        out = jnp.stack(outs)  # (n_batch, B[, C])
+        return out[:, None, None]
+
+    in_specs = (P(None, "dp", "sp", None),) * 3 + (P(),)
+    out_specs = (
+        P(None, "dp", "sp", None, None) if membership else P(None, "dp", "sp", None)
+    )
+
+    def outer(starts, ends, orders, k):
+        out = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)(
+            starts, ends, orders, k
+        )
+        # (n_batch, n_dp, n_sp*B[, C])
+        return out.reshape(out.shape[:2] + (-1,) + out.shape[4:])
+
+    return jax.jit(outer)
+
+
+@functools.lru_cache(maxsize=64)
 def _resident_fn(mesh: Mesh, B: int, M: int, C: int, n_docs: int, membership: bool):
     """One compiled SPMD program per (mesh, slab, rows, mode) shape.
 
@@ -103,51 +148,92 @@ class ResidentShardedQuery:
         record: str | None = None,
         k_max: int = 1024,
         device_output: bool = False,
+        records: list[str] | None = None,
     ):
+        """``records`` places SEVERAL records in one multi-record placement:
+        record i goes to dp rank ``i % n_dp`` (batch slot ``i // n_dp``), so
+        the ``dp`` mesh axis serves distinct records instead of idle
+        replicas (VERDICT r4 #7), and ONE SPMD dispatch per (k, mode)
+        answers all of them. ``record=`` keeps the single-record placement
+        (arrays [n_sp, M], no batch dims)."""
         if store.kind not in ("conservation", "membership"):
             raise ValueError(f"bad store kind {store.kind!r}")
-        if record is None:
-            if store.num_records != 1:
-                raise ValueError(
-                    f"store has {store.num_records} records; pass record="
-                )
-            record = store.record_names[0]
+        if records is not None and record is not None:
+            raise ValueError("pass record= or records=, not both")
+        if records is None and record is None:
+            if store.num_records == 1:
+                record = store.record_names[0]
+            else:
+                records = list(store.record_names)
         self.store = store
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.record = record
         self.k_max = int(k_max)
         self.n_docs = store.n_docs
         self.device_output = bool(device_output)
-
-        r = store.record_index(record)
-        self.record_len = int(store.record_lens[r])
-        rec_end = int(store.rec_offsets[r + 1])
         n_sp = self.mesh.shape["sp"]
-        self.B = _round_up(max(self.record_len, 1), n_sp) // n_sp
+
+        self._multi = records is not None
+        self.records = list(records) if self._multi else [record]
+        self.record = self.records[0]
+        self._slot = {name: i for i, name in enumerate(self.records)}
+        if len(self._slot) != len(self.records):
+            raise ValueError("duplicate records in placement")
+        rec_idx = [store.record_index(name) for name in self.records]
+        self._rec_lens = {
+            name: int(store.record_lens[r]) for name, r in zip(self.records, rec_idx)
+        }
+        self.record_len = self._rec_lens[self.record]
+        self.B = _round_up(max(max(self._rec_lens.values()), 1), n_sp) // n_sp
 
         # Defensive: the exactness argument (module docstring) needs
         # end >= start, which every MEM-overlap store satisfies.
-        seg = slice(int(store.rec_offsets[r]), rec_end)
-        if seg.stop > seg.start and int((store.end[seg] - store.start[seg]).min()) < 0:
-            raise ValueError("store has end < start rows; cannot shard by coordinate")
+        for r in rec_idx:
+            seg = slice(int(store.rec_offsets[r]), int(store.rec_offsets[r + 1]))
+            if seg.stop > seg.start and int((store.end[seg] - store.start[seg]).min()) < 0:
+                raise ValueError("store has end < start rows; cannot shard by coordinate")
 
-        bounds = []
-        for d in range(n_sp):
-            lo, hi = store.window_bounds(
-                record, d * self.B, min((d + 1) * self.B, self.record_len), self.k_max
-            )
-            bounds.append((lo, min(hi, rec_end)))
-        M = _round_up(max(max(hi - lo for lo, hi in bounds), 1), 8)
-        starts = np.zeros((n_sp, M), np.int32)
-        ends = np.zeros((n_sp, M), np.int32)
-        orders = np.full((n_sp, M), -1, np.int32)  # order<0 rows are dropped
-        for d, (lo, hi) in enumerate(bounds):
-            m = hi - lo
-            starts[d, :m] = store.start[lo:hi]
-            ends[d, :m] = store.end[lo:hi]
-            orders[d, :m] = store.order[lo:hi]
+        all_bounds = []  # [record][shard] -> (lo, hi)
+        for name, r in zip(self.records, rec_idx):
+            rec_end = int(store.rec_offsets[r + 1])
+            bounds = []
+            for d in range(n_sp):
+                lo, hi = store.window_bounds(
+                    name,
+                    d * self.B,
+                    min((d + 1) * self.B, self._rec_lens[name]),
+                    self.k_max,
+                )
+                bounds.append((lo, min(hi, rec_end)))
+            all_bounds.append(bounds)
+        M = _round_up(max(1, max(hi - lo for b in all_bounds for lo, hi in b)), 8)
+        if self._multi:
+            n_dp = self.mesh.shape.get("dp", 1)
+            self.n_dp = n_dp
+            self.n_batch = (len(self.records) + n_dp - 1) // n_dp
+            shape = (self.n_batch, n_dp, n_sp, M)
+            starts = np.zeros(shape, np.int32)
+            ends = np.zeros(shape, np.int32)
+            orders = np.full(shape, -1, np.int32)  # order<0 rows are dropped
+            for i, bounds in enumerate(all_bounds):
+                b, dpi = i // n_dp, i % n_dp
+                for d, (lo, hi) in enumerate(bounds):
+                    m = hi - lo
+                    starts[b, dpi, d, :m] = store.start[lo:hi]
+                    ends[b, dpi, d, :m] = store.end[lo:hi]
+                    orders[b, dpi, d, :m] = store.order[lo:hi]
+            sh = NamedSharding(self.mesh, P(None, "dp", "sp", None))
+        else:
+            bounds = all_bounds[0]
+            starts = np.zeros((n_sp, M), np.int32)
+            ends = np.zeros((n_sp, M), np.int32)
+            orders = np.full((n_sp, M), -1, np.int32)
+            for d, (lo, hi) in enumerate(bounds):
+                m = hi - lo
+                starts[d, :m] = store.start[lo:hi]
+                ends[d, :m] = store.end[lo:hi]
+                orders[d, :m] = store.order[lo:hi]
+            sh = NamedSharding(self.mesh, P("sp", None))
         self.rows_per_shard = M
-        sh = NamedSharding(self.mesh, P("sp", None))
         self._d_start = jax.device_put(starts, sh)
         self._d_end = jax.device_put(ends, sh)
         self._d_order = jax.device_put(orders, sh)
@@ -163,41 +249,64 @@ class ResidentShardedQuery:
         n_sp = self.mesh.shape["sp"]
         return {
             "record": self.record,
+            "records": self.records,
             "record_len": self.record_len,
             "shards": n_sp,
+            "dp_slots": getattr(self, "n_dp", 1) * getattr(self, "n_batch", 1),
             "slab_positions": self.B,
             "rows_per_shard": self.rows_per_shard,
-            "resident_bytes_per_shard": self.rows_per_shard * 12,
+            "resident_bytes_per_shard": self.rows_per_shard * 12
+            * (getattr(self, "n_batch", 1) if self._multi else 1),
             "k_max": self.k_max,
         }
 
+    def _pick(self, record: str | None) -> str:
+        if record is None:
+            if len(self.records) > 1:
+                raise ValueError("multi-record placement: pass record=")
+            return self.record
+        if record not in self._slot:
+            raise KeyError(f"record {record!r} not in this placement")
+        return record
+
     # ------------------------------------------------------------------ public
-    def conservation_full(self, k: int):
+    def conservation_full(self, k: int, record: str | None = None):
         """int32[record_len] conservation of the whole record (device array,
-        sharded over sp) — one SPMD dispatch."""
-        return self._full(k, membership=False)[: self.record_len]
+        sharded over sp) — sliced out of the one dispatch that served every
+        record of the placement."""
+        record = self._pick(record)
+        out = self._full(k, membership=False)
+        if self._multi:
+            i = self._slot[record]
+            out = out[i // self.n_dp, i % self.n_dp]
+        return out[: self._rec_lens[record]]
 
-    def membership_full(self, k: int):
-        return self._full(k, membership=True)[: self.record_len]
+    def membership_full(self, k: int, record: str | None = None):
+        record = self._pick(record)
+        out = self._full(k, membership=True)
+        if self._multi:
+            i = self._slot[record]
+            out = out[i // self.n_dp, i % self.n_dp]
+        return out[: self._rec_lens[record]]
 
-    def conservation(self, qs: int, qe: int, k: int) -> np.ndarray:
-        out = self.conservation_full(k)[qs:qe]
+    def conservation(self, qs: int, qe: int, k: int, record: str | None = None):
+        out = self.conservation_full(k, record)[qs:qe]
         return out if self.device_output else np.asarray(out)
 
-    def membership(self, qs: int, qe: int, k: int) -> np.ndarray:
-        out = self.membership_full(k)[qs:qe]
+    def membership(self, qs: int, qe: int, k: int, record: str | None = None):
+        out = self.membership_full(k, record)[qs:qe]
         return out if self.device_output else np.asarray(out)
 
-    def conservation_windows(self, windows, k: int) -> list[np.ndarray]:
+    def conservation_windows(self, windows, k: int, record: str | None = None):
         """Batched windows served from ONE full-record dispatch per k —
         replaces per-window host gathers for dense window batches."""
-        full = self.conservation_full(k)
+        full = self.conservation_full(k, record)
         outs = [full[qs:qe] for qs, qe in windows]
         return outs if self.device_output else [np.asarray(o) for o in outs]
 
-    def membership_windows(self, windows, k: int) -> list[np.ndarray]:
+    def membership_windows(self, windows, k: int, record: str | None = None):
         """Membership twin of :meth:`conservation_windows`."""
-        full = self.membership_full(k)
+        full = self.membership_full(k, record)
         outs = [full[qs:qe] for qs, qe in windows]
         return outs if self.device_output else [np.asarray(o) for o in outs]
 
@@ -210,9 +319,21 @@ class ResidentShardedQuery:
         if hit is not None:
             self._full_cache[key] = hit  # refresh LRU position
             return hit
-        fn = _resident_fn(
-            self.mesh, self.B, self.rows_per_shard, self.n_docs, self.n_docs, membership
-        )
+        if self._multi:
+            fn = _resident_fn_multi(
+                self.mesh,
+                self.n_batch,
+                self.B,
+                self.rows_per_shard,
+                self.n_docs,
+                self.n_docs,
+                membership,
+            )
+        else:
+            fn = _resident_fn(
+                self.mesh, self.B, self.rows_per_shard, self.n_docs, self.n_docs,
+                membership,
+            )
         out = fn(self._d_start, self._d_end, self._d_order, jnp.int32(k))
         self.dispatch_count += 1
         if len(self._full_cache) >= self._full_cache_cap:

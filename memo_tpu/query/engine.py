@@ -34,6 +34,12 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _elementwise_min(a, b):
+    import jax.numpy as jnp
+
+    return jnp.minimum(a, b)
+
+
 @dataclasses.dataclass
 class QueryStats:
     """Per-query observability counters (the reference has none; SURVEY §5)."""
@@ -63,6 +69,7 @@ class QueryEngine:
         max_intervals_per_chunk: int | None = None,
         device_output: bool = False,
         kernel_version: str | None = None,
+        stratify: bool | str = "auto",
     ):
         """``device_output=True`` keeps results on device (jax arrays, no
         host transfer) — for pipelines that feed them onward (binning, another
@@ -114,6 +121,28 @@ class QueryEngine:
         self.n_docs = store.n_docs
         self.last_stats = QueryStats()
 
+        # Length stratification (r5): an interval only marks positions when
+        # its length < k-1 (reference memo_query.py:49), yet the kernel pays
+        # for every candidate row. Dense HPRC-like stores are ~92% invalid
+        # at the default k=31 (measured on the bench large-store class), so
+        # the engine partitions such stores into length buckets — each a
+        # fully independent sub-engine over a sub-store — and a query only
+        # dispatches buckets whose length range can contain valid intervals
+        # at its k. Piece outputs combine with elementwise MIN (mark-union;
+        # the _query_interval_pieces proof). Sparse stores (mostly-valid at
+        # k=31) skip stratification: extra dispatches would cost more than
+        # the few dead rows.
+        self._children: list[tuple[int, "QueryEngine"]] | None = None
+        if stratify == "auto":
+            stratify = (
+                backend in ("jax", "pallas")
+                and store.num_intervals >= (1 << 20)
+                and float(np.mean((store.end - store.start) < 30)) < 0.5
+            )
+        if stratify and backend in ("jax", "pallas"):
+            self._init_stratified(store)
+            return
+
         if backend in ("jax", "pallas"):
             import jax.numpy as jnp
 
@@ -150,6 +179,74 @@ class QueryEngine:
         elif backend != "numpy":
             raise ValueError(f"unknown backend {backend!r}")
 
+    # Bucket edges: upper length bounds (exclusive). Chosen so the default
+    # k=31 touches ONLY bucket 0 (len < 32 covers len < 30 exactly plus the
+    # thin 30..31 shell), the k-sweep 51/101 adds one bucket, and huge-k
+    # queries still prune nothing worse than the unstratified engine.
+    STRATA_EDGES = (32, 128, 512, 2048)
+
+    def _init_stratified(self, store) -> None:
+        from memo_tpu.index.store import IntervalStore
+
+        ln = np.asarray(store.end - store.start)
+        b_id = np.searchsorted(np.asarray(self.STRATA_EDGES, np.int64), ln, side="right")
+        children: list[tuple[int, QueryEngine]] = []
+        for b in range(len(self.STRATA_EDGES) + 1):
+            rows = np.flatnonzero(b_id == b)
+            if rows.size == 0:
+                continue
+            sub = IntervalStore(
+                record_names=store.record_names,
+                record_lens=store.record_lens,
+                n_docs=store.n_docs,
+                kind=store.kind,
+                rec_id=store.rec_id[rows],  # stable subset: (rec, start) order kept
+                start=store.start[rows],
+                end=store.end[rows],
+                order=store.order[rows],
+            )
+            lb = 0 if b == 0 else self.STRATA_EDGES[b - 1]
+            children.append(
+                (
+                    lb,
+                    QueryEngine(
+                        sub,
+                        backend=self.backend,
+                        chunk_positions=self.chunk_positions,
+                        max_intervals_per_chunk=self.max_intervals,
+                        device_output=True,
+                        kernel_version=self.kernel_version,
+                        stratify=False,
+                    ),
+                )
+            )
+        self._children = children
+
+    def _query_stratified(self, record, qs, qe, k, membership):
+        """Union of per-bucket marks == elementwise MIN of per-bucket
+        outputs (same argument as _query_interval_pieces); buckets whose
+        minimum length >= k-1 hold no valid interval and are skipped."""
+        L = qe - qs
+        n = self.n_docs
+        stats = QueryStats(positions=L)
+        acc = None
+        for lb, child in self._children:
+            if lb >= k - 1:
+                continue  # every interval in this bucket is too long at this k
+            out = child._query(record, qs, qe, k, membership)
+            stats.candidate_intervals += child.last_stats.candidate_intervals
+            stats.chunks += child.last_stats.chunks
+            acc = out if acc is None else _elementwise_min(acc, out)
+        self.last_stats = stats
+        if acc is None:  # k too small for ANY stored interval: nothing marks
+            import jax.numpy as jnp
+
+            if membership:
+                acc = jnp.ones((L, n), jnp.int8)
+            else:
+                acc = jnp.full((L,), n, jnp.int32)
+        return acc if self.device_output else np.asarray(acc)
+
     # ------------------------------------------------------------------ public
     def conservation(self, record: str, qs: int, qe: int, k: int) -> np.ndarray:
         """int array [qe-qs] of per-position conservation values in [0, n]."""
@@ -169,6 +266,8 @@ class QueryEngine:
             raise ValueError(f"empty/negative region {record}:{qs}-{qe}")
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
+        if self._children is not None:
+            return self._query_stratified(record, qs, qe, k, membership)
         L_total = qe - qs
         n = self.n_docs
         stats = QueryStats(positions=L_total)

@@ -129,6 +129,42 @@ def test_pallas_dense_band_regime(kernel, n_docs, rec_len):
             )
 
 
+def test_stratified_engine_matches_numpy(kernel):
+    """Length-stratified engine (per-bucket sub-engines, min-combined, only
+    buckets with min length < k-1 dispatched) is bit-exact across k values
+    on either side of every bucket edge — including k so small that NO
+    bucket dispatches (sentinel output) and k beyond the longest interval."""
+    rng = np.random.default_rng(13)
+    mix = np.where(
+        rng.random((900, 8)) < 0.5,
+        rng.integers(0, 40, (900, 8)),
+        rng.integers(100, 3000, (900, 8)),
+    ).astype(np.int32)
+    ms = [_lipschitz(mix)]
+    store = store_from_ms(ms, ["c0"], [900], 9, "conservation")
+    strat = QueryEngine(store, backend="pallas", stratify=True, kernel_version=kernel)
+    assert strat._children is not None and len(strat._children) >= 3
+    oracle = QueryEngine(store, backend="numpy")
+    for qs, qe in [(0, 900), (111, 700), (899, 900)]:
+        for k in (1, 2, 31, 33, 101, 130, 600, 2100, 5000):
+            np.testing.assert_array_equal(
+                strat.conservation("c0", qs, qe, k),
+                oracle.conservation("c0", qs, qe, k),
+                err_msg=f"{qs}-{qe} k={k}",
+            )
+    # bucket pruning actually happens: k=31 must touch only bucket 0
+    strat.conservation("c0", 0, 900, 31)
+    assert strat.last_stats.candidate_intervals <= strat._children[0][1].store.num_intervals
+
+    memb = store_from_ms(ms, ["c0"], [900], 9, "membership")
+    sm = QueryEngine(memb, backend="pallas", stratify=True, kernel_version=kernel)
+    om = QueryEngine(memb, backend="numpy")
+    for k in (2, 31, 600):
+        np.testing.assert_array_equal(
+            sm.membership("c0", 0, 900, k), om.membership("c0", 0, 900, k)
+        )
+
+
 def test_pallas_chunked_equals_unchunked(kernel):
     rng = np.random.default_rng(5)
     store = _store(rng, lipschitz=True)

@@ -108,6 +108,11 @@ def main():
     ap.add_argument("--nodma", action="store_true", help="timing-only: skip event DMAs")
     ap.add_argument("--no-exact", action="store_true", help="skip the numpy cross-check")
     ap.add_argument("--e2e", action="store_true", help="also time one engine.conservation + true_sync")
+    ap.add_argument(
+        "--stratified-e2e",
+        action="store_true",
+        help="also time a length-stratified engine (full conservation + true_sync)",
+    )
     args = ap.parse_args()
     if args.nodma:
         os.environ["MEMO_TPU_PALLAS_LAB_SKIP_DMA"] = "1"
@@ -124,12 +129,16 @@ def main():
     store = get_store(args.shape)
     pivot_len = int(store.record_lens[0])
     record = store.record_names[0]
+    # stratify=False: the lab times the RAW kernel over the full candidate
+    # streams; the engine's length-stratified mode is measured via --e2e
+    # (--stratified-e2e) against exactly this baseline.
     engine = QueryEngine(
         store,
         backend="pallas",
         chunk_positions=pivot_len,
         max_intervals_per_chunk=1 << 25,
         device_output=True,
+        stratify=False,
     )
     build_s = time.time() - t0
 
@@ -289,6 +298,33 @@ def main():
             best = min(best, time.perf_counter() - t)
         out["e2e_full_ms"] = round(best * 1e3, 1)
         out["e2e_full_mbp_s"] = round(pivot_len / best / 1e6, 1)
+
+    if args.stratified_e2e:
+        s_eng = QueryEngine(
+            store,
+            backend="pallas",
+            chunk_positions=pivot_len,
+            max_intervals_per_chunk=1 << 25,
+            device_output=True,
+            stratify=True,
+        )
+        first = s_eng.conservation(record, 0, pivot_len, k)
+        bench.true_sync(first)
+        sub = min(1 << 14, pivot_len)
+        out["stratified_exact"] = bool(
+            np.array_equal(
+                np.asarray(first)[:sub], bench.reference_query_np(store, 0, sub, k)
+            )
+        )
+        best = 1e9
+        for _ in range(args.reps):
+            t = time.perf_counter()
+            o = s_eng.conservation(record, 0, pivot_len, k)
+            bench.true_sync(o)
+            best = min(best, time.perf_counter() - t)
+        out["stratified_e2e_ms"] = round(best * 1e3, 1)
+        out["stratified_e2e_mbp_s"] = round(pivot_len / best / 1e6, 1)
+        out["stratified_buckets"] = len(s_eng._children or [])
 
     print(json.dumps(out))
 
