@@ -584,11 +584,73 @@ def bench_stage_child(stage: str) -> int:
         print(json.dumps(bench_wide_store(rng, backend)))
     elif stage == "headline":
         print(json.dumps(bench_headline(rng, backend)))
+    elif stage == "batched":
+        print(json.dumps(bench_batched_windows(rng, backend)))
     elif stage.startswith("backend-"):
         return bench_backend_child(stage.removeprefix("backend-"))
     else:
         raise SystemExit(f"unknown stage {stage}")
     return 0
+
+
+def bench_batched_windows(rng, backend: str) -> dict:
+    """VERDICT r4 #5/#6 rows. Every e2e number on this host carries the
+    tunnel round trip (~35 ms) INSIDE it, so (a) the batched-window path
+    must amortize it (one on-device fori_loop dispatch serves N windows:
+    QueryEngine.conservation_batch), and (b) the recorded artifact must
+    carry a transport-free device-throughput figure. Method for (b):
+    batches of Q and 2Q staggered 1 Mbp windows; the wall slope
+    (wall(2Q)-wall(Q))/Q cancels the constant dispatch+sync term —
+    kernel_only_mbp_s is window_Mbp over that slope."""
+    from memo_tpu.query.engine import QueryEngine
+
+    store = build_store(rng)
+    engine = QueryEngine(
+        store,
+        backend=backend,
+        chunk_positions=PIVOT_LEN,
+        device_output=True,
+        stratify=False,
+    )
+    L, Q = 1 << 20, 16
+    span = PIVOT_LEN - L
+    wins = [
+        (round(i * span / (Q - 1)), round(i * span / (Q - 1)) + L) for i in range(Q)
+    ]
+    if backend != "pallas":  # batched loop is a fused-kernel feature
+        return {"skipped": f"backend {backend}"}
+
+    outs = engine.conservation_batch("chr1", wins, K)  # compile + run
+    true_sync(outs[-1])
+    sub = 1 << 14
+    want = reference_query_np(store, wins[3][0], wins[3][0] + sub, K)
+    exact = bool(np.array_equal(np.asarray(outs[3])[:sub], want))
+
+    wall_q = wall_2q = single = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        true_sync(engine.conservation_batch("chr1", wins, K)[-1])
+        wall_q = min(wall_q, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        true_sync(engine.conservation_batch("chr1", wins + wins, K)[-1])
+        wall_2q = min(wall_2q, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        true_sync(engine.conservation("chr1", wins[0][0], wins[0][1], K))
+        single = min(single, time.perf_counter() - t0)
+    per_window_dev = max((wall_2q - wall_q) / Q, 1e-9)
+    per_window_batched = wall_q / Q
+    return {
+        "windows": Q,
+        "window_mbp": round(L / 1e6, 2),
+        "single_window_ms": round(single * 1e3, 1),
+        "batch_wall_ms": round(wall_q * 1e3, 1),
+        "per_window_batched_ms": round(per_window_batched * 1e3, 2),
+        "batch_amortization": round(single / per_window_batched, 1),
+        "kernel_only_ms_per_window": round(per_window_dev * 1e3, 2),
+        "kernel_only_mbp_s": round(L / per_window_dev / 1e6, 1),
+        "kernel_only_method": "slope of batch(2Q)-batch(Q) on-device fori_loop walls",
+        "exact": exact,
+    }
 
 
 def bench_headline(rng, backend: str) -> dict:
@@ -963,6 +1025,7 @@ def main() -> int:
     # HBM-pressure stages when the budget is tight — those also live in the
     # committed local-run artifact (docs/BENCH_local_r03.json).
     stages = [
+        ("batched_windows", 200, child("--stage-batched")),
         ("pallas_ab", 200, lambda cap: bench_pallas_ab(cap)),
         ("index_build", 150, lambda cap: {
             **bench_index_build(rng),

@@ -95,13 +95,18 @@ class QueryEngine:
             except Exception:
                 backend = "numpy"
         self.backend = backend
-        # Fused-kernel generation: "v2" (transposed layout + band folds, the
-        # r5 default — kernel-only A/B in docs/KERNEL_NOTES.md) or "v1".
-        # MEMO_TPU_PALLAS_KERNEL overrides for sweeps/regression checks.
+        # Fused-kernel generation. "v1" is the default at EVERY measured
+        # shape once length stratification removes the dense dead work
+        # (r5 true-sync A/B, docs/KERNEL_NOTES.md: large 43.6 vs 29.4,
+        # wide 12.5 vs 12.3, kernel-only 119 vs 106 Mbp/s) — the v2
+        # transposed/band kernel only approached v1 in the pre-
+        # stratification ultra-dense regime that no longer reaches the
+        # kernel. MEMO_TPU_PALLAS_KERNEL=v2 keeps the alternative
+        # measurable round over round.
         import os as _os
 
         self.kernel_version = (
-            kernel_version or _os.environ.get("MEMO_TPU_PALLAS_KERNEL") or "v2"
+            kernel_version or _os.environ.get("MEMO_TPU_PALLAS_KERNEL") or "v1"
         )
         if self.kernel_version not in ("v1", "v2"):
             raise ValueError(f"unknown kernel_version {self.kernel_version!r}")
@@ -260,7 +265,140 @@ class QueryEngine:
         record, qs, qe = parse_region(region)
         return self._query(record, qs, qe, k, membership=membership)
 
+    def conservation_batch(self, record: str, windows, k: int) -> list[np.ndarray]:
+        """N windows in ONE device dispatch: an on-device ``fori_loop`` runs
+        the fused kernel per window and writes into a [Q, L] output, so a
+        regions-file batch pays one dispatch + one sync instead of N of
+        each (~35 ms tunnel round trip per sync on this host — the
+        dominant cost of small-window batches; VERDICT r4 #5). Windows are
+        padded to the longest length and a pow2 window count (inert pad
+        windows), keeping the compiled-program set small. Exact: the loop
+        body IS the single-window kernel."""
+        return self._query_batch(record, windows, k, membership=False)
+
+    def membership_batch(self, record: str, windows, k: int) -> list[np.ndarray]:
+        return self._query_batch(record, windows, k, membership=True)
+
     # ----------------------------------------------------------------- internals
+    def _query_batch(self, record: str, windows, k: int, membership: bool):
+        windows = [(int(qs), int(qe)) for qs, qe in windows]
+        for qs, qe in windows:
+            if qe < qs:
+                raise ValueError(f"empty/negative window {qs}-{qe}")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if not windows:
+            return []
+        if self._children is not None:
+            accs = None
+            for lb, child in self._children:
+                if lb >= k - 1:
+                    continue
+                outs = child._query_batch(record, windows, k, membership)
+                accs = (
+                    outs
+                    if accs is None
+                    else [_elementwise_min(a, o) for a, o in zip(accs, outs)]
+                )
+            if accs is None:
+                import jax.numpy as jnp
+
+                n = self.n_docs
+                accs = [
+                    jnp.ones((qe - qs, n), jnp.int8)
+                    if membership
+                    else jnp.full((qe - qs,), n, jnp.int32)
+                    for qs, qe in windows
+                ]
+            if self.device_output:
+                return accs
+            return [np.asarray(a) for a in accs]
+        L = max((qe - qs for qs, qe in windows), default=1)
+        fallback = self.backend != "pallas" or L > self.chunk_positions
+        params = None
+        if not fallback:
+            params = [
+                self._window_params(record, qs, qs + L, k) for qs, _ in windows
+            ]
+            count = max(max(p[1] - p[0], p[3] - p[2]) for p in params)
+            if count > self.max_intervals:
+                fallback = True
+        if fallback:
+            # Oversized windows/candidate sets (or the XLA/numpy backends):
+            # per-window queries, still exact.
+            outs = [self._query(record, qs, qe, k, membership) for qs, qe in windows]
+            return outs
+        import jax.numpy as jnp
+
+        n = self.n_docs
+        M = min(_next_pow2(max(count, 1)), self.max_intervals)
+        Q = len(windows)
+        Q_pad = _next_pow2(Q)
+        if self.kernel_version == "v2":
+            pshape = (max((n + 7) // 8 * 8, 8), 1)
+        else:
+            pshape = (1, max((n + 127) // 128 * 128, 128))
+        mlos = np.zeros(Q_pad, np.int32)
+        mhis = np.zeros(Q_pad, np.int32)
+        plos = np.zeros(Q_pad, np.int32)
+        phis = np.zeros(Q_pad, np.int32)
+        qss = np.zeros(Q_pad, np.int32)
+        prefs = np.zeros((Q_pad,) + pshape, np.int32)
+        for i, ((qs, _), p) in enumerate(zip(windows, params)):
+            mlos[i], mhis[i], plos[i], phis[i] = p[:4]
+            qss[i] = qs
+            if pshape[0] == 1:
+                prefs[i, 0, :n] = p[4]
+            else:
+                prefs[i, :n, 0] = p[4]
+        run = _batched_query_fn(
+            Q_pad, M, L, n, membership, self.kernel_version, self._interpret, pshape
+        )
+        out = run(
+            self._d_start,
+            self._d_end,
+            self._d_order,
+            self._d_end_s,
+            self._d_start_by_end,
+            self._d_order_by_end,
+            jnp.asarray(mlos),
+            jnp.asarray(mhis),
+            jnp.asarray(plos),
+            jnp.asarray(phis),
+            jnp.asarray(qss),
+            jnp.asarray(prefs),
+            jnp.int32(k),
+        )
+        self.last_stats = QueryStats(
+            candidate_intervals=int(
+                sum(max(p[1] - p[0], p[3] - p[2]) for p in params)
+            ),
+            chunks=Q,
+            positions=sum(qe - qs for qs, qe in windows),
+        )
+        outs = [out[i, : qe - qs] for i, (qs, qe) in enumerate(windows)]
+        if self.device_output:
+            return outs
+        host = np.asarray(out)
+        return [host[i, : qe - qs] for i, (qs, qe) in enumerate(windows)]
+
+    def _window_params(self, record: str, qs: int, qe: int, k: int):
+        """Host-side kernel parameters for one window (candidate ranges in
+        the two sorted streams + the position-0 prefix counts)."""
+        st = self.store
+        lay = self._layout
+        L = qe - qs
+        r = st.record_index(record)
+        rec_lo, rec_hi = int(st.rec_offsets[r]), int(st.rec_offsets[r + 1])
+        seg_s = st.start[rec_lo:rec_hi]
+        seg_e = lay.end_sorted[rec_lo:rec_hi]
+        mlo = rec_lo + int(np.searchsorted(seg_s, qs, side="right"))
+        mhi = rec_lo + int(np.searchsorted(seg_s, qs + L, side="left"))
+        plo = rec_lo + int(np.searchsorted(seg_e, qs + k - 1, side="right"))
+        phi = rec_lo + int(np.searchsorted(seg_e, qs + L + k - 1, side="left"))
+        prefix = lay.prefix_counts(st, r, qs, k)
+        return mlo, mhi, plo, phi, prefix
+
     def _query(self, record: str, qs: int, qe: int, k: int, membership: bool) -> np.ndarray:
         if qe < qs:
             raise ValueError(f"empty/negative region {record}:{qs}-{qe}")
@@ -493,6 +631,80 @@ class QueryEngine:
             ev_rows=ev_rows,
         )
         return out if self.device_output else np.asarray(out)
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_query_fn(
+    Q: int,
+    M: int,
+    L: int,
+    n: int,
+    membership: bool,
+    kernel_version: str,
+    interpret: bool,
+    pshape: tuple,
+):
+    """One compiled N-window program per (count, bucket, window, mode) shape:
+    an on-device fori_loop dispatches the fused kernel per window and packs
+    the outputs — one host dispatch + one sync for the whole batch."""
+    import jax
+    import jax.numpy as jnp
+
+    if kernel_version == "v2":
+        from memo_tpu.ops.pallas_query_v2 import (
+            kernel_constants_v2 as _kc,
+            memo_query_pallas_v2 as _kern,
+        )
+    else:
+        from memo_tpu.ops.pallas_query import (
+            kernel_constants_for as _kc,
+            memo_query_pallas as _kern,
+        )
+    tile, rows = _kc(M, L)
+
+    @jax.jit
+    def run(ds, de, do, des, dsbe, dobe, mlos, mhis, plos, phis, qss, prefs, k):
+        init = (
+            jnp.zeros((Q, L, n), jnp.int8)
+            if membership
+            else jnp.zeros((Q, L), jnp.int32)
+        )
+
+        def body(i, acc):
+            out = _kern(
+                ds,
+                de,
+                do,
+                des,
+                dsbe,
+                dobe,
+                jax.lax.dynamic_slice(
+                    prefs, (i,) + (0,) * len(pshape), (1,) + pshape
+                )[0],
+                mlos[i],
+                mhis[i],
+                plos[i],
+                phis[i],
+                qss[i],
+                k,
+                M=M,
+                L=L,
+                C=n,
+                n_docs=n,
+                membership=membership,
+                interpret=interpret,
+                tile=tile,
+                ev_rows=rows,
+            )
+            if membership:
+                return jax.lax.dynamic_update_slice(acc, out[None], (i, 0, 0))
+            return jax.lax.dynamic_update_slice(
+                acc, out[None].astype(jnp.int32), (i, 0)
+            )
+
+        return jax.lax.fori_loop(0, Q, body, init)
+
+    return run
 
 
 @functools.lru_cache(maxsize=256)

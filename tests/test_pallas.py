@@ -165,6 +165,29 @@ def test_stratified_engine_matches_numpy(kernel):
         )
 
 
+def test_conservation_batch_matches_per_window(kernel):
+    """One-dispatch batched windows (on-device fori_loop) == per-window
+    queries, including ragged lengths, pad windows (pow2 round-up), a
+    window at the record tail, and the stratified engine."""
+    rng = np.random.default_rng(21)
+    store = _store(rng, lipschitz=True, n_records=1, n_docs=6, rec_len=800)
+    eng = QueryEngine(store, backend="pallas", kernel_version=kernel, stratify=False)
+    oracle = QueryEngine(store, backend="numpy")
+    wins = [(0, 200), (150, 420), (555, 800), (790, 800), (300, 301)]
+    for (qs, qe), got in zip(wins, eng.conservation_batch("chr0", wins, 31)):
+        np.testing.assert_array_equal(
+            got, oracle.conservation("chr0", qs, qe, 31), err_msg=f"{qs}-{qe}"
+        )
+    memb = _store(rng, lipschitz=True, n_records=1, n_docs=6, rec_len=800,
+                  kind="membership")
+    em = QueryEngine(memb, backend="pallas", kernel_version=kernel, stratify=False)
+    om = QueryEngine(memb, backend="numpy")
+    for (qs, qe), got in zip(wins, em.membership_batch("chr0", wins, 7)):
+        np.testing.assert_array_equal(
+            got, om.membership("chr0", qs, qe, 7), err_msg=f"memb {qs}-{qe}"
+        )
+
+
 def test_pallas_chunked_equals_unchunked(kernel):
     rng = np.random.default_rng(5)
     store = _store(rng, lipschitz=True)
