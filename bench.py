@@ -586,6 +586,20 @@ def bench_stage_child(stage: str) -> int:
         print(json.dumps(bench_headline(rng, backend)))
     elif stage == "batched":
         print(json.dumps(bench_batched_windows(rng, backend)))
+    elif stage == "index":
+        # CPU-only, but isolation matters just as much: the r4 artifact
+        # recorded pooled_speedup 0.9 at a shape that measures 1.1-1.5x on
+        # an idle host (docs/POOLED_CALIB_r05.json) — the main bench
+        # process's allocator/TPU state contaminated the walls.
+        print(
+            json.dumps(
+                {
+                    **bench_index_build(rng),
+                    **bench_sa_build(rng),
+                    "pangenome": bench_pangenome_build(rng),
+                }
+            )
+        )
     elif stage.startswith("backend-"):
         return bench_backend_child(stage.removeprefix("backend-"))
     else:
@@ -808,14 +822,18 @@ def bench_pangenome_build(rng) -> dict:
                 fh.write(b">chr1\n" + lut[seq].tobytes() + b"\n")
             paths.append(p)
         stores = {}
-        # Alternating MEDIAN-of-3 per arm (VERDICT r3 #1a): this host's CPU
-        # noise is +-30% on single ~10 s runs, which once flipped the
-        # recorded ratio; best-of-2 was not enough repetitions.
+        # Alternating MEDIAN-of-5 per arm, order flipped each rep (VERDICT
+        # r3 #1a, widened r5): this host's CPU noise is +-30% on single
+        # ~5-10 s runs — 3 reps once flipped the recorded ratio, and r4's
+        # 0.9 was main-process contamination (the stage now runs in an
+        # isolated child; idle-host calibration medians 1.1-1.5x,
+        # docs/POOLED_CALIB_r05.json).
         import statistics
 
         walls = {"pooled": [], "perdoc": []}
-        for _ in range(3):
-            for mode in ("pooled", "perdoc"):
+        for rep in range(5):
+            order = ("pooled", "perdoc") if rep % 2 == 0 else ("perdoc", "pooled")
+            for mode in order:
                 t0 = time.perf_counter()
                 stores[mode] = build_index(
                     paths,
@@ -828,6 +846,10 @@ def bench_pangenome_build(rng) -> dict:
             out[f"{mode}_mbp_s"] = round((n_docs - 1) * n / statistics.median(w) / 1e6, 2)
             out[f"{mode}_walls_s"] = [round(x, 2) for x in w]
     out["pooled_speedup"] = round(out["pooled_mbp_s"] / out["perdoc_mbp_s"], 2)
+    # Contention on this 2-core VM is one-sided (it only ADDS wall), so the
+    # per-arm MINIMUM estimates the uncontended wall; the min-ratio is the
+    # decision-relevant number, medians/walls stay recorded for scrutiny.
+    out["pooled_speedup_min"] = round(min(walls["perdoc"]) / min(walls["pooled"]), 2)
     out["identical_stores"] = bool(
         np.array_equal(stores["pooled"].start, stores["perdoc"].start)
         and np.array_equal(stores["pooled"].end, stores["perdoc"].end)
@@ -1027,11 +1049,7 @@ def main() -> int:
     stages = [
         ("batched_windows", 200, child("--stage-batched")),
         ("pallas_ab", 200, lambda cap: bench_pallas_ab(cap)),
-        ("index_build", 150, lambda cap: {
-            **bench_index_build(rng),
-            **bench_sa_build(rng),
-            "pangenome": bench_pangenome_build(rng),
-        }),
+        ("index_build", 150, child("--stage-index")),
         ("scaling_virtual_8cpu", 200, lambda cap: bench_scaling(timeout=cap)),
         ("membership", 130, child("--stage-membership")),
         ("view", 40, lambda cap: bench_view(rng)),

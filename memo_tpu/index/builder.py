@@ -174,9 +174,18 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
     - pooled fwd-only: D_total doc chars total + 2*P query chars per group
       (P and RC(P) both queried in the forward-only layout).
 
-    Pool when the pooled estimate is < 60% of per-document — the margin
-    absorbs the GSA per-color scans and SA-IS's superlinear per-char cost on
-    bigger groups (measured on this class of host; see index/ms.py note)."""
+    Pool when the pooled estimate is < 45% of per-document. The margin is
+    CALIBRATED (r5, tools/bench_pooled_calib.py on an idle host, medians of
+    3, docs/POOLED_CALIB_r05.json): a pooled char costs ~1.8-2.0x a
+    per-document char (colored-GSA build = SA-IS + Kasai LCP + color table
+    vs plain automaton/SA; plus per-color scan passes), consistently at 6-
+    and 33-doc widths — so pooling wins wall-clock only when the char model
+    predicts <~0.48x, and 0.45 adds slack. At the bench pangenome shape
+    (33 x 1 Mbp, model 0.37) pooling measures 1.51x; at 6 x 1 Mbp (model
+    0.56) it measures 0.92x and now correctly disengages. The r4 bench
+    artifact's pooled 0.9x AT the 33-doc shape was main-process CPU
+    contention — the pangenome A/B now runs in an isolated stage child
+    like every other device stage (bench.py --stage-index)."""
     from memo_tpu.index.ms import _ms_budget_bytes, gsa_group_cap
 
     if cfg.backend not in ("auto", "sa") or len(doc_paths) < 3:
@@ -207,7 +216,7 @@ def _auto_pooled(doc_paths: list[str], pivot_chars: int, cfg: BuildConfig) -> bo
         return False
     pooled_chars = d_total + n_groups * q_chars
     per_doc_chars = 2 * d_total + len(doc_paths) * pivot_chars
-    return pooled_chars < 0.6 * per_doc_chars
+    return pooled_chars < 0.45 * per_doc_chars
 
 
 def build_index(genome_list: list[str] | str, cfg: BuildConfig | None = None) -> IntervalStore:
