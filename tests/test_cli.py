@@ -212,6 +212,38 @@ def test_query_regions_file_resident_strategy(built_index, tmp_path):
     assert (tmp_path / "res.piv_1_10_30.txt").read_text() == single.read_text()
 
 
+def test_query_regions_file_batched_strategy(built_index, tmp_path):
+    """--strategy batched serves all windows of a record from ONE on-device
+    fori_loop dispatch, byte-identical to the single-device path."""
+    regions = tmp_path / "regions.txt"
+    regions.write_text("piv_1:0-40\npiv_1:10-30\n")
+    prefix = tmp_path / "bat"
+    rc = main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "--regions-file", str(regions),
+            "--strategy", "batched",
+            "--backend", "pallas",
+            "-o", str(prefix),
+        ]
+    )
+    assert rc == 0
+    single = tmp_path / "s.txt"
+    main(
+        [
+            "query",
+            "-b", str(built_index / "test.npz"),
+            "-k", "3",
+            "-r", "piv_1:10-30",
+            "-o", str(single),
+            "--backend", "numpy",
+        ]
+    )
+    assert (tmp_path / "bat.piv_1_10_30.txt").read_text() == single.read_text()
+
+
 def test_pick_batch_strategy_auto():
     """--strategy auto: resident for dense/many-window batches, position for
     scattered small windows over huge records (VERDICT r3 #5)."""
