@@ -1047,14 +1047,16 @@ def main() -> int:
     # HBM-pressure stages when the budget is tight — those also live in the
     # committed local-run artifact (docs/BENCH_local_r03.json).
     stages = [
-        ("batched_windows", 200, child("--stage-batched")),
-        ("pallas_ab", 200, lambda cap: bench_pallas_ab(cap)),
-        ("index_build", 150, child("--stage-index")),
-        ("scaling_virtual_8cpu", 200, lambda cap: bench_scaling(timeout=cap)),
-        ("membership", 130, child("--stage-membership")),
-        ("view", 40, lambda cap: bench_view(rng)),
-        ("large_store", 280, child("--stage-large")),
-        ("wide_store", 240, child("--stage-wide")),
+        ("batched_windows", 120, child("--stage-batched")),
+        ("pallas_ab", 160, lambda cap: bench_pallas_ab(cap)),
+        ("index_build", 90, child("--stage-index")),
+        ("scaling_virtual_8cpu", 100, lambda cap: bench_scaling(timeout=cap)),
+        ("membership", 60, child("--stage-membership")),
+        ("view", 30, lambda cap: bench_view(rng)),
+        # Estimates re-measured r5 (warm compile cache; the 2x kill cap
+        # still covers congestion spells): large 112 s, wide ~97 s.
+        ("large_store", 170, child("--stage-large")),
+        ("wide_store", 150, child("--stage-wide")),
     ]
     for name, est, fn in stages:
         if remaining() < est + RESERVE_S:
