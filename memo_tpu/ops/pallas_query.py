@@ -55,7 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 # run ~20% faster at small tiles, dense HPRC-width stores (tens of
 # events/position) at wide DMA rows. MEMO_TPU_PALLAS_TILE / _EV_ROWS force a
 # fixed pair for sweeps; bench.py records the pair the headline used.
-EV_LANES = 512  # events per HBM row
+# Events per HBM row. 512 is the shipped default; MEMO_TPU_PALLAS_EV_LANES
+# overrides for sweeps (the step/one-hot operand construction scales with
+# T x lanes, so narrower rows trade less per-fold VPU work against more
+# fold dispatches — see docs/KERNEL_NOTES.md r5 ledger).
+EV_LANES = int(os.environ.get("MEMO_TPU_PALLAS_EV_LANES", "512"))
 SPARSE_TILE_ROWS = (256, 16)  # measured best, headline config (2.2M intervals)
 DENSE_TILE_ROWS = (512, 8)  # measured best, large_store config (75M intervals)
 DENSE_EVENTS_PER_POS = 8  # stream events per window position at the switch
