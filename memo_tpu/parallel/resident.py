@@ -192,10 +192,16 @@ class ResidentShardedQuery:
             if seg.stop > seg.start and int((store.end[seg] - store.start[seg]).min()) < 0:
                 raise ValueError("store has end < start rows; cannot shard by coordinate")
 
-        all_bounds = []  # [record][shard] -> (lo, hi)
+        # Placement-time length filter (exact): an interval marks positions
+        # only when its length < k-1 (reference memo_query.py:49), so rows
+        # with length >= k_max-1 can never mark at ANY k this placement
+        # serves — drop them before they cost resident HBM and scan work
+        # (the engine's query-time stratification, applied once at
+        # placement; at HPRC-density stores most rows go).
+        all_rows = []  # [record][shard] -> index array into the store
         for name, r in zip(self.records, rec_idx):
             rec_end = int(store.rec_offsets[r + 1])
-            bounds = []
+            rows_per_shard = []
             for d in range(n_sp):
                 lo, hi = store.window_bounds(
                     name,
@@ -203,9 +209,14 @@ class ResidentShardedQuery:
                     min((d + 1) * self.B, self._rec_lens[name]),
                     self.k_max,
                 )
-                bounds.append((lo, min(hi, rec_end)))
-            all_bounds.append(bounds)
-        M = _round_up(max(1, max(hi - lo for b in all_bounds for lo, hi in b)), 8)
+                hi = min(hi, rec_end)
+                idx = np.arange(lo, hi)
+                if hi > lo:
+                    ln = store.end[lo:hi] - store.start[lo:hi]
+                    idx = idx[ln < self.k_max - 1]
+                rows_per_shard.append(idx)
+            all_rows.append(rows_per_shard)
+        M = _round_up(max(1, max(len(ix) for b in all_rows for ix in b)), 8)
         if self._multi:
             n_dp = self.mesh.shape.get("dp", 1)
             self.n_dp = n_dp
@@ -214,24 +225,23 @@ class ResidentShardedQuery:
             starts = np.zeros(shape, np.int32)
             ends = np.zeros(shape, np.int32)
             orders = np.full(shape, -1, np.int32)  # order<0 rows are dropped
-            for i, bounds in enumerate(all_bounds):
+            for i, rows_per_shard in enumerate(all_rows):
                 b, dpi = i // n_dp, i % n_dp
-                for d, (lo, hi) in enumerate(bounds):
-                    m = hi - lo
-                    starts[b, dpi, d, :m] = store.start[lo:hi]
-                    ends[b, dpi, d, :m] = store.end[lo:hi]
-                    orders[b, dpi, d, :m] = store.order[lo:hi]
+                for d, ix in enumerate(rows_per_shard):
+                    m = len(ix)
+                    starts[b, dpi, d, :m] = store.start[ix]
+                    ends[b, dpi, d, :m] = store.end[ix]
+                    orders[b, dpi, d, :m] = store.order[ix]
             sh = NamedSharding(self.mesh, P(None, "dp", "sp", None))
         else:
-            bounds = all_bounds[0]
             starts = np.zeros((n_sp, M), np.int32)
             ends = np.zeros((n_sp, M), np.int32)
             orders = np.full((n_sp, M), -1, np.int32)
-            for d, (lo, hi) in enumerate(bounds):
-                m = hi - lo
-                starts[d, :m] = store.start[lo:hi]
-                ends[d, :m] = store.end[lo:hi]
-                orders[d, :m] = store.order[lo:hi]
+            for d, ix in enumerate(all_rows[0]):
+                m = len(ix)
+                starts[d, :m] = store.start[ix]
+                ends[d, :m] = store.end[ix]
+                orders[d, :m] = store.order[ix]
             sh = NamedSharding(self.mesh, P("sp", None))
         self.rows_per_shard = M
         self._d_start = jax.device_put(starts, sh)

@@ -169,6 +169,40 @@ def test_resident_dp_serves_distinct_records(dp, sp, n_rec):
     assert rqm.dispatch_count == 1
 
 
+def test_resident_placement_length_filter():
+    """Rows with length >= k_max-1 never mark at any servable k and are
+    dropped at placement time; outputs stay exact across k <= k_max on a
+    store dominated by too-long intervals."""
+    from memo_tpu.index.store import IntervalStore
+
+    rng = np.random.default_rng(23)
+    L, n_iv, n = 300, 600, 5
+    starts = np.sort(rng.integers(0, L, n_iv)).astype(np.int64)
+    # 80% long intervals (>= 63 at k_max=64), 20% short
+    long = rng.random(n_iv) < 0.8
+    lens = np.where(long, rng.integers(63, 200, n_iv), rng.integers(0, 40, n_iv))
+    st = IntervalStore(
+        record_names=["c"],
+        record_lens=[L],
+        n_docs=n,
+        kind="conservation",
+        rec_id=np.zeros(n_iv, np.int32),
+        start=starts,
+        end=starts + lens,
+        order=rng.integers(1, n, n_iv).astype(np.int64),
+    )
+    mesh = make_mesh(dp=1, sp=4, devices=jax.devices()[:4])
+    rq = ResidentShardedQuery(st, mesh, k_max=64)
+    # the placement really shrank: padded rows < total candidate rows
+    assert rq.rows_per_shard * 4 < n_iv
+    oracle = QueryEngine(st, backend="numpy")
+    for k in (1, 2, 31, 64):
+        np.testing.assert_array_equal(
+            rq.conservation(0, L, k), oracle.conservation("c", 0, L, k),
+            err_msg=f"k={k}",
+        )
+
+
 def test_resident_dense_random_intervals():
     """Adversarial geometry: heavy overlap, bookends, spans across every slab
     boundary of the mesh."""
